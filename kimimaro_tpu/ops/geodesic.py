@@ -1,0 +1,340 @@
+"""Frontier-parallel shortest-path fields on voxel grids (device).
+
+TPU-native replacement for the `dijkstra3d` C++ dependency
+(/root/reference/kimimaro/trace.py:139-145,154-158,240-244) and for the
+multi-source invalidation ball (`dijkstra_invalidation.hpp:239-332`).
+
+Design: heap-based Dijkstra is inherently serial; on TPU we compute the same
+distances as the fixpoint of monotone relaxation ("label-correcting" SSSP).
+The relaxation schedule is a set of six *directional plane sweeps*
+(+-x, +-y, +-z) executed as `lax.scan`s: a sweep along +x updates plane i
+from the already-updated plane i-1 via the nine (dx=-1, dy, dz) offsets, so
+distance propagates across the whole volume along any x-monotone path in a
+single pass. One round of six sweeps covers all 26 offsets; rounds repeat to
+a fixpoint, so the result is *exactly* the Dijkstra distance (number of
+rounds scales with the number of direction reversals of the geodesics, not
+with their voxel length). All sweeps are dense vector ops — no heaps, no
+data-dependent control flow inside jit.
+
+Two edge-cost modes, matching the reference:
+  - euclidean: step cost = anisotropic length of the offset
+    (dijkstra3d.euclidean_distance_field semantics)
+  - node: cost of entering voxel v = field[v]
+    (dijkstra3d.dijkstra / parental_field semantics on a weight field)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .stencils import neighborhood_offsets, shifted
+
+INF = np.float32(np.inf)
+
+# the 26 offsets in deterministic lexicographic order; parent codes index
+# into this list (sentinel 26 = "is a source / no parent")
+OFFSETS26 = neighborhood_offsets(26)
+
+
+def _plane_offsets(axis: int, direction: int):
+    """The 9 offsets with offset[axis] == -direction (i.e. reaching the
+    current plane from the previously-swept plane)."""
+    return [o for o in OFFSETS26 if o[axis] == -direction]
+
+
+def _off_cost(off, anisotropy) -> np.float32:
+    w = np.asarray(anisotropy, dtype=np.float64)
+    return np.float32(np.sqrt(np.sum((np.array(off, dtype=np.float64) * w) ** 2)))
+
+
+def _sweep(dist, ok, node_cost, axis, direction, anisotropy, clamp_positive):
+    """One directional plane sweep along `axis` in `direction` (+1/-1)."""
+    n = dist.shape[axis]
+    if n <= 1:
+        return dist
+
+    offs = _plane_offsets(axis, direction)
+    # in-plane shifts of the previous plane: drop the swept axis component
+    plane_shifts = []
+    for o in offs:
+        po = tuple(o[a] for a in range(3) if a != axis)
+        plane_shifts.append((po, _off_cost(o, anisotropy)))
+
+    d = jnp.moveaxis(dist, axis, 0)
+    m = jnp.moveaxis(ok, axis, 0)
+    nc = None if node_cost is None else jnp.moveaxis(node_cost, axis, 0)
+
+    if direction < 0:
+        d = d[::-1]
+        m = m[::-1]
+        nc = None if nc is None else nc[::-1]
+
+    def step(prev, x):
+        if nc is None:
+            cur, okc = x
+            ncc = None
+        else:
+            cur, okc, ncc = x
+        cand = jnp.full_like(cur, INF)
+        for po, c in plane_shifts:
+            s = shifted(prev, po, INF)
+            if ncc is None:
+                cand = jnp.minimum(cand, s + c)
+            else:
+                cand = jnp.minimum(cand, s)
+        if ncc is not None:
+            cand = cand + ncc
+        new = jnp.where(okc, jnp.minimum(cur, cand), INF)
+        if clamp_positive:
+            new = jnp.where(new > 0.0, INF, new)
+        return new, new
+
+    xs = (d[1:], m[1:]) if nc is None else (d[1:], m[1:], nc[1:])
+    _, rest = jax.lax.scan(step, d[0], xs)
+    out = jnp.concatenate([d[:1], rest], axis=0)
+
+    if direction < 0:
+        out = out[::-1]
+    return jnp.moveaxis(out, 0, axis)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("anisotropy", "node_mode", "clamp_positive", "max_rounds"),
+)
+def _fixpoint_distance(
+    init_dist,
+    ok,
+    node_cost,
+    anisotropy: Tuple[float, float, float],
+    node_mode: bool,
+    clamp_positive: bool,
+    max_rounds: int,
+):
+    nc = node_cost if node_mode else None
+
+    def one_round(d):
+        for axis in range(3):
+            for direction in (1, -1):
+                d = _sweep(d, ok, nc, axis, direction, anisotropy, clamp_positive)
+        return d
+
+    def cond(state):
+        d, prev_changed, i = state
+        return jnp.logical_and(prev_changed, i < max_rounds)
+
+    def body(state):
+        d, _, i = state
+        nd = one_round(d)
+        changed = jnp.any(nd != d)
+        return nd, changed, i + 1
+
+    dist0 = jnp.where(ok, init_dist, INF)
+    dist, _, _ = jax.lax.while_loop(cond, body, (dist0, jnp.bool_(True), 0))
+    return dist
+
+
+def distance_field(
+    ok_mask,
+    init_dist,
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+    node_cost=None,
+    clamp_positive: bool = False,
+    max_rounds: int = 4096,
+) -> jnp.ndarray:
+    """Exact SSSP distance field to fixpoint.
+
+    ok_mask: bool volume of traversable voxels.
+    init_dist: float32 volume, +inf everywhere except the sources (their
+      initial values; 0 for plain SSSP, negative radii for invalidation).
+    node_cost: if given, edge cost of entering v = node_cost[v]
+      (dijkstra3d field semantics); else anisotropic euclidean step costs.
+    clamp_positive: values > 0 are reset to +inf each sweep — used by the
+      invalidation ball so the expansion halts at the radius boundary.
+    """
+    ok = jnp.asarray(ok_mask, dtype=bool)
+    init = jnp.asarray(init_dist, dtype=jnp.float32)
+    nc = (
+        jnp.zeros_like(init)
+        if node_cost is None
+        else jnp.asarray(node_cost, dtype=jnp.float32)
+    )
+    return _fixpoint_distance(
+        init,
+        ok,
+        nc,
+        tuple(float(a) for a in anisotropy),
+        node_cost is not None,
+        bool(clamp_positive),
+        int(max_rounds),
+    )
+
+
+def euclidean_distance_field(
+    ok_mask,
+    source,
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+    return_max_location: bool = False,
+):
+    """Geodesic (foreground-constrained) anisotropic euclidean distance from
+    source voxel(s). Matches dijkstra3d.euclidean_distance_field semantics
+    (reference trace.py:139-145): unreachable voxels are +inf.
+
+    source: (3,) voxel coordinate or (k,3) array of sources.
+    """
+    ok = jnp.asarray(ok_mask, dtype=bool)
+    init = jnp.full(ok.shape, INF, dtype=jnp.float32)
+    src = np.asarray(source, dtype=np.int64).reshape(-1, 3)
+    init = init.at[src[:, 0], src[:, 1], src[:, 2]].set(0.0)
+    dist = distance_field(ok, init, anisotropy)
+    if not return_max_location:
+        return dist
+    finite = jnp.where(jnp.isfinite(dist), dist, -1.0)
+    target = jnp.unravel_index(jnp.argmax(finite), dist.shape)
+    return dist, target
+
+
+@functools.partial(jax.jit, static_argnames=("anisotropy", "node_mode"))
+def _parent_field_impl(dist, ok, node_cost, anisotropy, node_mode):
+    """Parent direction codes (int8 index into OFFSETS26; 26 = source/none).
+
+    At the fixpoint, dist[v] == min_u (dist[u] + cost(u->v)) exactly (the
+    stored float was produced by that very addition), so a post-hoc argmin
+    reconstructs a valid shortest-path tree with a deterministic (offset
+    order) tie break.
+    """
+    best = jnp.full(dist.shape, INF, dtype=jnp.float32)
+    parent = jnp.full(dist.shape, 26, dtype=jnp.int8)
+    for k, off in enumerate(OFFSETS26):
+        s = shifted(dist, off, INF)
+        if node_mode:
+            cand = s + node_cost
+        else:
+            cand = s + _off_cost(off, anisotropy)
+        better = cand < best
+        best = jnp.where(better, cand, best)
+        parent = jnp.where(better, jnp.int8(k), parent)
+
+    # voxels where no incoming edge reproduces dist are sources (or inf)
+    is_consistent = best <= dist
+    parent = jnp.where(is_consistent & ok & jnp.isfinite(dist), parent, 26)
+    return parent
+
+
+def parent_field(
+    dist,
+    ok_mask,
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+    node_cost=None,
+):
+    ok = jnp.asarray(ok_mask, dtype=bool)
+    nc = (
+        jnp.zeros_like(dist)
+        if node_cost is None
+        else jnp.asarray(node_cost, dtype=jnp.float32)
+    )
+    return _parent_field_impl(
+        jnp.asarray(dist, dtype=jnp.float32),
+        ok,
+        nc,
+        tuple(float(a) for a in anisotropy),
+        node_cost is not None,
+    )
+
+
+def invalidation_ball(
+    ok_mask,
+    dbf,
+    path_voxels,
+    scale: float,
+    const: float,
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+) -> jnp.ndarray:
+    """Rolling-ball invalidation restricted to the connected component.
+
+    TPU-native equivalent of skeletontricks.roll_invalidation_ball_inside_
+    component (reference trace.py:253-259, dijkstra_invalidation.hpp:239-332):
+    for each path vertex v, every foreground voxel within geodesic distance
+    scale*DBF[v] + const (physical units, 26-connected steps) is invalidated.
+
+    Implemented as a multi-source capped relaxation: sources start at
+    -(scale*DBF[v]+const); positive values are clamped to +inf so the
+    expansion stops exactly at the radius boundary. Returns a bool mask of
+    invalidated voxels.
+    """
+    ok = jnp.asarray(ok_mask, dtype=bool)
+    dbf = jnp.asarray(dbf, dtype=jnp.float32)
+    pv = np.asarray(path_voxels, dtype=np.int64).reshape(-1, 3)
+    radii = scale * dbf[pv[:, 0], pv[:, 1], pv[:, 2]] + const
+    init = jnp.full(ok.shape, INF, dtype=jnp.float32)
+    # multiple path vertices may map to the same voxel: keep the largest ball
+    init = init.at[pv[:, 0], pv[:, 1], pv[:, 2]].min(-radii)
+    dist = distance_field(ok, init, anisotropy, clamp_positive=True)
+    return dist <= 0.0
+
+
+def flood_fill(seed_mask, ok_mask, connectivity: int = 6) -> jnp.ndarray:
+    """Binary reachability: all ok voxels connected to seed_mask.
+
+    Uses the same sweep engine with unit costs. connectivity 6 or 26.
+    """
+    ok = jnp.asarray(ok_mask, dtype=bool)
+    init = jnp.where(jnp.asarray(seed_mask, dtype=bool) & ok, 0.0, INF)
+    if connectivity == 26:
+        dist = distance_field(ok, init, (1.0, 1.0, 1.0))
+    else:
+        dist = _flood6(ok, init)
+    return jnp.isfinite(dist)
+
+
+@jax.jit
+def _flood6(ok, init):
+    """6-connected flood via the same sweep machinery (only the 6 axial
+    offsets participate)."""
+
+    def sweep6(d, axis, direction):
+        n = d.shape[axis]
+        if n <= 1:
+            return d
+        dd = jnp.moveaxis(d, axis, 0)
+        mm = jnp.moveaxis(ok, axis, 0)
+        if direction < 0:
+            dd = dd[::-1]
+            mm = mm[::-1]
+
+        def step(prev, x):
+            cur, okc = x
+            new = jnp.where(okc, jnp.minimum(cur, prev + 1.0), INF)
+            return new, new
+
+        _, rest = jax.lax.scan(step, dd[0], (dd[1:], mm[1:]))
+        out = jnp.concatenate([dd[:1], rest], axis=0)
+        if direction < 0:
+            out = out[::-1]
+        return jnp.moveaxis(out, 0, axis)
+
+    def one_round(d):
+        # in-plane 4-neighbor propagation is covered by the other axes'
+        # sweeps across rounds
+        for axis in range(3):
+            for direction in (1, -1):
+                d = sweep6(d, axis, direction)
+        return d
+
+    def cond(state):
+        d, changed, i = state
+        return jnp.logical_and(changed, i < 4096)
+
+    def body(state):
+        d, _, i = state
+        nd = one_round(d)
+        return nd, jnp.any(nd != d), i + 1
+
+    dist0 = jnp.where(ok, init, INF)
+    dist, _, _ = jax.lax.while_loop(cond, body, (dist0, jnp.bool_(True), 0))
+    return dist
