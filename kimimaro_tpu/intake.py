@@ -1,0 +1,683 @@
+"""Whole-image skeletonization pipeline (the `skeletonize` driver).
+
+TPU-native rebuild of /root/reference/kimimaro/intake.py. The reference's
+preamble (CCL, EDT, bboxes, border targets) runs as device field sweeps; the
+per-label TEASAR stage is a host loop over connected components with all
+heavy sweeps on device. The reference's multiprocess fan-out + POSIX shared
+memory (intake.py:222-266,344-432) has no analogue here: a single
+accelerator already executes each label's field sweeps data-parallel across
+the whole volume, and multi-chip scaling shards the *volume* instead
+(see kimimaro_tpu.parallel).
+
+Label crops are padded up to power-of-two size buckets so XLA compiles a
+bounded number of kernel shapes for any input.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import scipy.spatial
+
+import jax
+import jax.numpy as jnp
+
+from . import trace as trace_mod
+from .ops import edt as edt_ops
+from .ops import fill as fill_ops
+from .ops.ccl import connected_components
+from .skeleton import Skeleton
+from .utility import compute_cc_labels, find_objects
+from .utils.bbox import Bbox
+
+
+class DimensionError(Exception):
+    pass
+
+
+# reference intake.py:47-56
+DEFAULT_TEASAR_PARAMS = {
+    "scale": 1.5,
+    "const": 300,
+    "pdrf_scale": 100000,
+    "pdrf_exponent": 4,
+    "soma_acceptance_threshold": 3500,
+    "soma_detection_threshold": 750,
+    "soma_invalidation_const": 300,
+    "soma_invalidation_scale": 2,
+}
+
+
+def skeletonize(
+    all_labels,
+    teasar_params=DEFAULT_TEASAR_PARAMS,
+    anisotropy: Sequence[float] = (1, 1, 1),
+    object_ids=None,
+    dust_threshold: int = 1000,
+    progress: bool = False,
+    fix_branching: bool = True,
+    in_place: bool = False,
+    fix_borders: bool = True,
+    parallel: int = 1,
+    parallel_chunk_size: int = 100,
+    extra_targets_before=[],
+    extra_targets_after=[],
+    fill_holes: bool = False,
+    fix_avocados: bool = False,
+    voxel_graph=None,
+) -> Dict[int, Skeleton]:
+    """Skeletonize all nonzero labels of a 2D/3D integer volume.
+
+    Drop-in behavioral equivalent of the reference kimimaro.skeletonize
+    (intake.py:58-266). Returns {segid: Skeleton} with vertices in physical
+    space. `parallel`/`parallel_chunk_size` are accepted for API parity; the
+    device executes each label's sweeps data-parallel already.
+    """
+    if voxel_graph is not None:
+        raise NotImplementedError("voxel_graph is not supported on the TPU path yet")
+
+    anisotropy = np.array(anisotropy, dtype=np.float32)
+
+    all_labels = format_labels(all_labels, in_place=in_place)
+    all_labels = apply_object_mask(all_labels, object_ids)
+
+    if all_labels.size <= dust_threshold:
+        return {}
+
+    minlabel, maxlabel = int(all_labels.min()), int(all_labels.max())
+    if minlabel == 0 and maxlabel == 0:
+        return {}
+
+    cc_labels, remapping = compute_cc_labels(all_labels)
+    del all_labels
+
+    if fill_holes:
+        cc_labels = fill_all_holes(cc_labels, progress)
+
+    extra_targets_before = points_to_labels(extra_targets_before, cc_labels)
+    extra_targets_after = points_to_labels(extra_targets_after, cc_labels)
+
+    def edtfn(labels):
+        d = edt_ops.edt(
+            labels,
+            anisotropy=tuple(float(a) for a in anisotropy),
+            black_border=(minlabel == maxlabel),
+        )
+        return np.asarray(jax.device_get(d))
+
+    all_dbf = edtfn(cc_labels)
+
+    if fix_avocados:
+        cc_labels, all_dbf, remapping = engage_avocado_protection(
+            cc_labels,
+            all_dbf,
+            remapping,
+            soma_detection_threshold=teasar_params.get("soma_detection_threshold", 0),
+            edtfn=edtfn,
+            progress=progress,
+        )
+
+    cc_segids, pxct = np.unique(cc_labels, return_counts=True)
+    cc_segids = [
+        int(sid) for sid, ct in zip(cc_segids, pxct) if ct > dust_threshold and sid != 0
+    ]
+
+    all_slices = find_objects(cc_labels)
+
+    border_targets = defaultdict(list)
+    if fix_borders:
+        border_targets = compute_border_targets(cc_labels, anisotropy)
+
+    print_quotes(parallel)  # easter egg (reference intake.py:796-803)
+
+    return skeletonize_subset(
+        all_dbf,
+        cc_labels,
+        remapping,
+        teasar_params,
+        anisotropy,
+        all_slices,
+        border_targets,
+        extra_targets_before,
+        extra_targets_after,
+        progress,
+        fix_borders,
+        fix_branching,
+        cc_segids,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Label formatting / masking (reference intake.py:315-342,519-535)
+
+
+def format_labels(labels, in_place: bool = False) -> np.ndarray:
+    labels = np.asarray(labels)
+    if not in_place:
+        labels = np.copy(labels)
+
+    if labels.dtype == bool:
+        labels = labels.view(np.uint8)
+
+    original_shape = labels.shape
+    while labels.ndim < 3:
+        labels = labels[..., np.newaxis]
+    while labels.ndim > 3:
+        if labels.shape[-1] == 1:
+            labels = labels[..., 0]
+        else:
+            raise DimensionError(
+                "Input labels may be no more than three non-trivial dimensions. "
+                f"Got: {original_shape}"
+            )
+    return labels
+
+
+def apply_object_mask(all_labels: np.ndarray, object_ids) -> np.ndarray:
+    if object_ids is None:
+        return all_labels
+    keep = np.isin(all_labels, np.asarray(list(object_ids), dtype=all_labels.dtype))
+    return np.where(keep, all_labels, 0)
+
+
+def points_to_labels(pts, cc_labels) -> Dict[int, list]:
+    """Bucket (x,y,z) targets by the connected-component label under them
+    (reference intake.py:537-542)."""
+    mapping = defaultdict(list)
+    for pt in pts:
+        pt = tuple(int(c) for c in pt)
+        mapping[int(cc_labels[pt])].append(pt)
+    return mapping
+
+
+# --------------------------------------------------------------------------- #
+# Per-label dispatch (reference intake.py:434-517)
+
+_BUCKET_MIN = 16
+
+
+def _bucket(n: int) -> int:
+    """Round a crop dimension up to the next power of two (>=16) to bound
+    the number of distinct compiled kernel shapes."""
+    b = _BUCKET_MIN
+    while b < n:
+        b <<= 1
+    return b
+
+
+def skeletonize_subset(
+    all_dbf,
+    cc_labels,
+    remapping,
+    teasar_params,
+    anisotropy,
+    all_slices,
+    border_targets,
+    extra_targets_before,
+    extra_targets_after,
+    progress,
+    fix_borders,
+    fix_branching,
+    cc_segids,
+) -> Dict[int, Skeleton]:
+    skeletons = defaultdict(list)
+
+    for segid in cc_segids:
+        slices = all_slices[segid - 1]
+        if slices is None:
+            continue
+
+        roi = Bbox.from_slices(slices)
+        if roi.volume() <= 1:
+            continue
+
+        labels_crop = cc_labels[slices] == segid
+        dbf_crop = np.where(labels_crop, all_dbf[slices], 0.0).astype(np.float32)
+
+        # pad to bucketed shape so jitted kernels compile O(log^3) shapes
+        tgt_shape = tuple(_bucket(s) for s in labels_crop.shape)
+        if tgt_shape != labels_crop.shape:
+            pad = [(0, t - s) for s, t in zip(labels_crop.shape, tgt_shape)]
+            labels_crop = np.pad(labels_crop, pad)
+            dbf_crop = np.pad(dbf_crop, pad)
+
+        manual_targets_before = []
+        manual_targets_after = []
+        root = None
+
+        def translate_to_roi(targets):
+            out = []
+            for t in targets:
+                out.append(tuple(int(c) - int(m) for c, m in zip(t, roi.minpt)))
+            return out
+
+        if len(border_targets[segid]) > 0:
+            manual_targets_before = translate_to_roi(border_targets[segid])
+            root = manual_targets_before.pop()
+
+        if segid in extra_targets_before and len(extra_targets_before[segid]) > 0:
+            manual_targets_before.extend(translate_to_roi(extra_targets_before[segid]))
+        if segid in extra_targets_after and len(extra_targets_after[segid]) > 0:
+            manual_targets_after.extend(translate_to_roi(extra_targets_after[segid]))
+
+        skeleton = trace_mod.trace(
+            labels_crop,
+            dbf_crop,
+            anisotropy=tuple(float(a) for a in anisotropy),
+            fix_branching=fix_branching,
+            manual_targets_before=manual_targets_before,
+            manual_targets_after=manual_targets_after,
+            root=root,
+            **teasar_params,
+        )
+
+        if skeleton.empty():
+            continue
+
+        skeleton.vertices += roi.minpt.astype(np.float32)
+        orig_segid = remapping[segid]
+        skeleton.id = orig_segid
+        skeleton.vertices = np.multiply(
+            skeleton.vertices, anisotropy, dtype=np.float32
+        )
+        skeleton.space = "physical"
+        skeletons[orig_segid].append(skeleton)
+
+    return merge(skeletons)
+
+
+def merge(skeletons: Dict[int, List[Skeleton]]) -> Dict[int, Skeleton]:
+    """Fuse per-component skeletons of the same original label
+    (reference intake.py:587-593)."""
+    merged = {}
+    for segid, skels in skeletons.items():
+        skel = Skeleton.simple_merge(skels)
+        skel.id = segid
+        merged[segid] = skel.consolidate()
+    return merged
+
+
+# --------------------------------------------------------------------------- #
+# fix_borders: deterministic chunk-joining targets
+# (reference intake.py:544-585, skeletontricks.pyx:528-760)
+
+
+def _compute_centroids(cc_plane: np.ndarray, wx: float, wy: float) -> Dict[int, tuple]:
+    """Per-label centroid on a 2D plane, rounded toward the plane center so
+    every coordinate frame picks the same pixel (reference pyx:573-586)."""
+    wx, wy = np.float32(wx), np.float32(wy)
+    sx, sy = cc_plane.shape
+    labels = np.unique(cc_plane)
+    labels = labels[labels != 0]
+    cx = np.float32(wx * sx / 2)
+    cy = np.float32(wy * sy / 2)
+
+    out = {}
+    xs, ys = np.nonzero(cc_plane)
+    vals = cc_plane[xs, ys]
+    for label in labels:
+        m = vals == label
+        px = np.float32(wx) * np.float32(xs[m].sum(dtype=np.float64)) / np.float32(m.sum())
+        py = np.float32(wy) * np.float32(ys[m].sum(dtype=np.float64)) / np.float32(m.sum())
+        if px - cx < 0:
+            px = np.float32(px + wx)
+        if py - cy < 0:
+            py = np.float32(py + wy)
+        out[int(label)] = (float(px / wx), float(py / wy))
+    return out
+
+
+def _distsq(p, q, wx, wy):
+    dx = wx * (p[..., 0] - q[0])
+    dy = wy * (p[..., 1] - q[1])
+    return dx * dx + dy * dy
+
+
+def find_border_targets(dt_plane: np.ndarray, cc_plane: np.ndarray, wx: float, wy: float):
+    """Per 2D label: the max-EDT point, with the reference's 5-stage
+    coordinate-frame-free tiebreak (closest to label centroid, then plane
+    centroid, then corner, then edge, then first in y-major scan order;
+    reference pyx:591-715). Bit-deterministic across chunk frames."""
+    sx, sy = dt_plane.shape
+    labels = np.unique(cc_plane)
+    labels = labels[labels != 0]
+    centroids = _compute_centroids(cc_plane, wx, wy)
+    cx, cy = np.float32(wx * sx / 2.0), np.float32(wy * sy / 2.0)
+
+    pts = {}
+    for label in labels:
+        m = (cc_plane == label) & (dt_plane > 0)
+        if not m.any():
+            continue
+        mx = dt_plane[m].max()
+        cand = np.argwhere((dt_plane == mx) & m).astype(np.float32)  # (k, 2) x,y
+        centx, centy = centroids[int(label)]
+        # centroid coords are in truncated-integer pixel units * (wx, wy)
+        centx, centy = int(centx) * 1.0, int(centy) * 1.0
+
+        k1 = _distsq(cand, (centx, centy), wx, wy)
+        # NB: the reference compares against (wx*sx/2, wy*sy/2) expressed in
+        # pixel units (pyx:694-696) — replicated verbatim for bit parity.
+        k2 = _distsq(cand, (cx, cy), wx, wy)
+        corners = [(-0.5, -0.5), (sx - 0.5, -0.5), (sx - 0.5, sy - 0.5), (-0.5, sx - 0.5)]
+        k3 = np.min(np.stack([_distsq(cand, c, wx, wy) for c in corners]), axis=0)
+        k4 = np.minimum.reduce(
+            [
+                wx * (cand[:, 0] - 0.5),
+                wx * (sx - 0.5 - cand[:, 0]),
+                wy * (cand[:, 1] - 0.5),
+                wy * (sy - 0.5 - cand[:, 1]),
+            ]
+        )
+        scan = cand[:, 1] * sx + cand[:, 0]  # y-major scan order (pyx:628-630)
+        order = np.lexsort((scan, k4, k3, k2, k1))
+        best = cand[order[0]]
+        pts[int(label)] = (int(best[0]), int(best[1]))
+    return pts
+
+
+def compute_border_targets(cc_labels: np.ndarray, anisotropy) -> Dict[int, np.ndarray]:
+    """For each of the six faces: 2D CCL + 2D EDT + deterministic per-label
+    max picks (reference intake.py:544-585)."""
+    sx, sy, sz = cc_labels.shape
+
+    planes = (
+        (cc_labels[:, :, 0], (0, 1), lambda x, y: (x, y, 0)),
+        (cc_labels[:, :, -1], (0, 1), lambda x, y: (x, y, sz - 1)),
+        (cc_labels[:, 0, :], (0, 2), lambda x, z: (x, 0, z)),
+        (cc_labels[:, -1, :], (0, 2), lambda x, z: (x, sy - 1, z)),
+        (cc_labels[0, :, :], (1, 2), lambda y, z: (0, y, z)),
+        (cc_labels[-1, :, :], (1, 2), lambda y, z: (sx - 1, y, z)),
+    )
+
+    target_list = defaultdict(set)
+
+    for plane, dims, rotatefn in planes:
+        wx, wy = float(anisotropy[dims[0]]), float(anisotropy[dims[1]])
+        if not plane.any():
+            continue
+        plane3 = plane[..., np.newaxis]
+        cc_raw = np.asarray(jax.device_get(connected_components(plane3)))[..., 0]
+        # compact to 1..N preserving background = 0
+        uniq, inv = np.unique(cc_raw, return_inverse=True)
+        has_bg = len(uniq) > 0 and uniq[0] == 0
+        new_vals = np.arange(len(uniq)) if has_bg else np.arange(1, len(uniq) + 1)
+        cc_plane = new_vals[inv].reshape(plane.shape).astype(np.int32)
+
+        dt_plane = np.asarray(
+            jax.device_get(edt_ops.edt(cc_plane, (wx, wy), black_border=True))
+        )
+
+        plane_targets = find_border_targets(dt_plane, cc_plane, wx, wy)
+
+        # the target pixel itself carries the original cc_labels value
+        for label, pt in plane_targets.items():
+            orig = int(plane[pt[0], pt[1]])
+            if orig == 0:
+                continue
+            target_list[orig].add(rotatefn(int(pt[0]), int(pt[1])))
+
+    out = defaultdict(lambda: np.array([], dtype=np.uint32))
+    for label, pts in target_list.items():
+        out[label] = np.array(sorted(pts), dtype=np.uint32)
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Hole filling (reference intake.py:747-794)
+
+
+def fill_all_holes(cc_labels: np.ndarray, progress: bool = False,
+                   return_fill_count: bool = False):
+    """Fill interior holes of each connected component; labels that were
+    holes are absorbed by the surrounding label."""
+    cc_labels = np.copy(cc_labels)
+    labels = np.unique(cc_labels)
+    labels_set = set(int(u) for u in labels if u != 0)
+
+    all_slices = find_objects(cc_labels)
+    pixels_filled = 0
+
+    for label in labels:
+        label = int(label)
+        if label not in labels_set:
+            continue
+        slices = all_slices[label - 1]
+        if slices is None:
+            continue
+
+        binary_image = cc_labels[slices] == label
+        filled, n = fill_ops.fill(binary_image, return_fill_count=True)
+        filled = np.asarray(jax.device_get(filled))
+        n = int(n)
+        pixels_filled += n
+        if n == 0:
+            continue
+
+        sub_labels = set(int(u) for u in np.unique(cc_labels[slices][filled]))
+        sub_labels.discard(label)
+        labels_set -= sub_labels
+        cc_labels[slices] = np.where(filled, label, cc_labels[slices])
+
+    if return_fill_count:
+        return cc_labels, pixels_filled
+    return cc_labels
+
+
+# --------------------------------------------------------------------------- #
+# Avocado protection (reference intake.py:600-704, skeletontricks.pyx:905-993)
+
+
+def find_avocado_fruit(labels: np.ndarray, cx: int, cy: int, cz: int, background=0):
+    """Cast 6 axis rays from (cx,cy,cz); if >=3 rays terminate on the same
+    surrounding label (one mismatch allowed when more than 3 hits), classify
+    (pit, fruit). Mirrors reference pyx:905-993."""
+    sx, sy, sz = labels.shape
+    if cx >= sx or cy >= sy or cz >= sz:
+        raise ValueError(f"<{cx},{cy},{cz}> must be within <{sx},{sy},{sz}>")
+
+    label = labels[cx, cy, cz]
+    changes = []
+
+    def ray(coords_iter, index_fn):
+        for i in coords_iter:
+            v = index_fn(i)
+            if v == background:
+                return None
+            if v != label:
+                return v
+        return None
+
+    rays = [
+        ray(range(cx, sx), lambda x: labels[x, cy, cz]),
+        ray(range(cx, 0, -1), lambda x: labels[x, cy, cz]),
+        ray(range(cy, sy), lambda y: labels[cx, y, cz]),
+        ray(range(cy, 0, -1), lambda y: labels[cx, y, cz]),
+        ray(range(cz, sz), lambda z: labels[cx, cy, z]),
+        ray(range(cz, 0, -1), lambda z: labels[cx, cy, z]),
+    ]
+    changes = [r for r in rays if r is not None]
+
+    if len(changes) < 3:
+        return (label, label)
+
+    allowed_differences = 1 if len(changes) > 3 else 0
+    uniq, cts = np.unique(changes, return_counts=True)
+    candidate = int(np.argmax(cts))
+    differences = len(changes) - cts[candidate]
+    if differences > allowed_differences:
+        return (label, label)
+    return (label, uniq[candidate])
+
+
+def _paint_walls(binimg: np.ndarray) -> np.ndarray:
+    """2D-fill each wall so inclusions touching a wall are still treated as
+    interior (reference intake.py:666-677)."""
+    for axis in range(3):
+        for side in (0, -1):
+            idx = [slice(None)] * 3
+            idx[axis] = side
+            wall = binimg[tuple(idx)]
+            binimg[tuple(idx)] = np.asarray(jax.device_get(fill_ops.fill(wall)))
+    return binimg
+
+
+def engage_avocado_protection(
+    cc_labels, all_dbf, remapping, soma_detection_threshold, edtfn, progress=False
+):
+    orig_cc_labels = np.copy(cc_labels)
+    cc_labels = np.copy(cc_labels)
+    unchanged = set()
+
+    for _ in range(20):  # nested-avocado cap (reference intake.py:610-614)
+        candidates = set(
+            int(u) for u in np.unique(
+                cc_labels * (all_dbf > soma_detection_threshold / 2.5)
+            )
+        )
+        candidates -= unchanged
+        candidates.discard(0)
+
+        cc_labels, unchanged_this_cycle, changes = _avocado_single_pass(
+            cc_labels, all_dbf, candidates=sorted(candidates)
+        )
+        unchanged |= unchanged_this_cycle
+        if len(changes) == 0:
+            break
+        all_dbf = edtfn(cc_labels)
+
+    # renumber contiguously by first appearance in scan order and rebuild
+    # the remapping (reference intake.py:636-644; fastremap.renumber orders
+    # labels by first occurrence)
+    uniq, first_idx, inv = np.unique(
+        cc_labels, return_index=True, return_inverse=True
+    )
+    has_bg = len(uniq) > 0 and uniq[0] == 0
+    fg = slice(1, None) if has_bg else slice(None)
+    order = np.argsort(first_idx[fg], kind="stable")
+    fg_new = np.empty(len(uniq) - (1 if has_bg else 0), dtype=np.int64)
+    fg_new[order] = np.arange(1, len(fg_new) + 1)
+    new_vals = np.concatenate([[0], fg_new]) if has_bg else fg_new
+    new_cc = new_vals[inv].reshape(cc_labels.shape).astype(cc_labels.dtype)
+
+    adjusted_remapping = {}
+    flat_old = orig_cc_labels.reshape(-1)
+    flat_new = new_cc.reshape(-1)
+    # new cc id -> any old cc id occupying the same voxels -> original label
+    seen = {}
+    nz = flat_new != 0
+    pairs = np.unique(np.stack([flat_new[nz], flat_old[nz]], axis=1), axis=0)
+    for new_id, old_id in pairs:
+        if int(new_id) not in seen and int(old_id) in remapping:
+            seen[int(new_id)] = remapping[int(old_id)]
+    adjusted_remapping = seen
+
+    return new_cc, all_dbf, adjusted_remapping
+
+
+def _avocado_single_pass(cc_labels, all_dbf, candidates):
+    unchanged = set()
+    changed = set()
+    if len(candidates) == 0:
+        return cc_labels, unchanged, changed
+
+    slcs = find_objects(cc_labels)
+
+    for label in candidates:
+        slc = slcs[label - 1]
+        if slc is None:
+            continue
+        offset = Bbox.from_slices(slc).minpt
+        binimg = _paint_walls(cc_labels[slc] == label)
+        masked = np.where(binimg, all_dbf[slc], 0.0)
+        coord = np.unravel_index(np.argmax(masked), masked.shape)
+        coord = tuple(int(c) + int(o) for c, o in zip(coord, offset))
+
+        pit, fruit = find_avocado_fruit(cc_labels, *coord)
+        if pit == fruit and pit not in changed:
+            unchanged.add(int(pit))
+        else:
+            unchanged.discard(int(pit))
+            unchanged.discard(int(fruit))
+            changed.add(int(pit))
+            changed.add(int(fruit))
+            binimg |= cc_labels[slc] == fruit
+
+        filled, n = fill_ops.fill(binimg, return_fill_count=True)
+        filled = np.asarray(jax.device_get(filled))
+        cc_labels[slc] = np.where(filled, fruit, cc_labels[slc])
+
+    return cc_labels, unchanged, changed
+
+
+# --------------------------------------------------------------------------- #
+# Point utilities (reference intake.py:268-313,706-745)
+
+
+def connect_points(
+    labels,
+    start,
+    end,
+    anisotropy=(1, 1, 1),
+    fill_holes: bool = False,
+    in_place: bool = False,
+    pdrf_scale: float = 100000,
+    pdrf_exponent: int = 4,
+) -> Skeleton:
+    """Extract a single centerline between two points of a binary image."""
+    anisotropy = np.array(anisotropy, dtype=np.float32)
+    start = tuple(int(c) for c in start)
+    end = tuple(int(c) for c in end)
+
+    labels = np.asarray(labels).astype(bool)
+    labels = format_labels(labels, in_place=in_place)
+
+    cc_labels, _ = compute_cc_labels(labels)
+    start3 = (start + (0, 0, 0))[:3]
+    end3 = (end + (0, 0, 0))[:3]
+    if cc_labels[start3] == 0 or cc_labels[start3] != cc_labels[end3]:
+        raise ValueError("Cannot extract centerline from disconnected components.")
+
+    skel = trace_mod.point_to_point(
+        labels, start3, end3,
+        anisotropy=tuple(float(a) for a in anisotropy),
+        pdrf_scale=pdrf_scale, pdrf_exponent=pdrf_exponent,
+    )
+    skel.vertices *= anisotropy
+    skel.space = "physical"
+    return skel
+
+
+def synapses_to_targets(labels, synapses, progress: bool = False) -> Dict[tuple, int]:
+    """Convert synapse centroids into in-label target voxels keyed by SWC
+    label (reference intake.py:706-745)."""
+    labels = np.asarray(labels)
+    while labels.ndim > 3:
+        labels = labels[..., 0]
+
+    targets = {}
+    for label, pairs in synapses.items():
+        point_cloud = np.vstack((labels == label).nonzero()).T
+        if len(point_cloud) == 0:
+            continue
+        swc_labels = defaultdict(list)
+        for centroid, swc_label in pairs:
+            swc_labels[swc_label].append(centroid)
+        for swc_label, centroids in swc_labels.items():
+            distances = scipy.spatial.distance.cdist(point_cloud, centroids)
+            minima = np.unique(np.argmin(distances, axis=0))
+            for idx in minima:
+                targets[tuple(int(c) for c in point_cloud[idx])] = swc_label
+    return targets
+
+
+def print_quotes(parallel: int) -> None:
+    """Easter-egg parity with reference intake.py:796-803."""
+    if parallel == -1:
+        print("Against the power of will I possess... The capability of my body is nothing.")
+    elif parallel == -2:
+        print("I will see the truth of this world... OROCHIMARU-SAMA WILL SHOW ME!!!")
+    if -2 <= parallel < 0:
+        print("CURSED SEAL OF THE EARTH!!!")

@@ -81,11 +81,16 @@ def edtsq(
     """Squared multi-label anisotropic EDT. Returns float32, BIG where the
     distance is unbounded (single label, no black border)."""
     labels = jnp.asarray(labels)
-    assert labels.ndim == 3, "edt expects a 3D volume"
+    squeeze_2d = labels.ndim == 2
+    if squeeze_2d:
+        labels = labels[..., None]
+        anisotropy = tuple(anisotropy) + (1.0,)
+    assert labels.ndim == 3, "edt expects a 2D or 3D volume"
     shape = labels.shape
 
     d = jnp.full(shape, BIG, dtype=jnp.float32)
-    for axis in range(3):
+    ndim_iter = 2 if squeeze_2d else 3  # 2D: borderless singleton z axis
+    for axis in range(ndim_iter):
         w = float(anisotropy[axis])
         n = shape[axis]
         if n == 1:
@@ -102,6 +107,8 @@ def edtsq(
         d = jnp.moveaxis(out, -1, axis)
 
     d = jnp.where(labels == 0, 0.0, d)
+    if squeeze_2d:
+        d = d[..., 0]
     return d
 
 

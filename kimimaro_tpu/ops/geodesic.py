@@ -278,6 +278,97 @@ def invalidation_ball(
     return dist <= 0.0
 
 
+@functools.partial(jax.jit, static_argnames=("anisotropy", "max_rounds"))
+def _voronoi_fixpoint(init_dist, init_feat, ok, anisotropy, max_rounds: int):
+    """Jointly relax (distance, nearest-seed-id) to fixpoint — the
+    dijkstra3d.euclidean_distance_field(return_feature_map=True) equivalent
+    (reference utility.py:613-617)."""
+
+    def sweep(dist, feat, axis, direction):
+        n = dist.shape[axis]
+        if n <= 1:
+            return dist, feat
+        offs = _plane_offsets(axis, direction)
+        plane_shifts = [
+            (tuple(o[a] for a in range(3) if a != axis), _off_cost(o, anisotropy))
+            for o in offs
+        ]
+
+        d = jnp.moveaxis(dist, axis, 0)
+        f = jnp.moveaxis(feat, axis, 0)
+        m = jnp.moveaxis(ok, axis, 0)
+        if direction < 0:
+            d, f, m = d[::-1], f[::-1], m[::-1]
+
+        def step(carry, x):
+            pd, pf = carry
+            cur_d, cur_f, okc = x
+            best_d = jnp.full_like(cur_d, INF)
+            best_f = jnp.zeros_like(cur_f)
+            for po, c in plane_shifts:
+                sd = shifted(pd, po, INF) + c
+                sf = shifted(pf, po, 0)
+                better = sd < best_d
+                best_d = jnp.where(better, sd, best_d)
+                best_f = jnp.where(better, sf, best_f)
+            take = okc & (best_d < cur_d)
+            nd = jnp.where(take, best_d, jnp.where(okc, cur_d, INF))
+            nf = jnp.where(take, best_f, cur_f)
+            return (nd, nf), (nd, nf)
+
+        (_, _), (rd, rf) = jax.lax.scan(step, (d[0], f[0]), (d[1:], f[1:], m[1:]))
+        out_d = jnp.concatenate([d[:1], rd], axis=0)
+        out_f = jnp.concatenate([f[:1], rf], axis=0)
+        if direction < 0:
+            out_d, out_f = out_d[::-1], out_f[::-1]
+        return jnp.moveaxis(out_d, 0, axis), jnp.moveaxis(out_f, 0, axis)
+
+    def one_round(state):
+        d, f = state
+        for axis in range(3):
+            for direction in (1, -1):
+                d, f = sweep(d, f, axis, direction)
+        return d, f
+
+    def cond(state):
+        d, f, changed, i = state
+        return jnp.logical_and(changed, i < max_rounds)
+
+    def body(state):
+        d, f, _, i = state
+        nd, nf = one_round((d, f))
+        changed = jnp.any(nd != d) | jnp.any(nf != f)
+        return nd, nf, changed, i + 1
+
+    d0 = jnp.where(ok, init_dist, INF)
+    d, f, _, _ = jax.lax.while_loop(
+        cond, body, (d0, init_feat, jnp.bool_(True), 0)
+    )
+    return d, f
+
+
+def voronoi_feature_field(
+    ok_mask, seeds, anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+    max_rounds: int = 4096,
+):
+    """Multi-source geodesic EDF + nearest-seed feature map.
+
+    seeds: (k, 3) voxel coords. Feature ids are 1-based seed indices
+    (0 = unreached). Returns (dist, features int32).
+    """
+    ok = jnp.asarray(ok_mask, dtype=bool)
+    seeds = np.asarray(seeds, dtype=np.int64).reshape(-1, 3)
+    init_d = jnp.full(ok.shape, INF, dtype=jnp.float32)
+    init_f = jnp.zeros(ok.shape, dtype=jnp.int32)
+    ids = jnp.arange(1, seeds.shape[0] + 1, dtype=jnp.int32)
+    # later seeds overwrite earlier at duplicate coords (deterministic)
+    init_d = init_d.at[seeds[:, 0], seeds[:, 1], seeds[:, 2]].set(0.0)
+    init_f = init_f.at[seeds[:, 0], seeds[:, 1], seeds[:, 2]].set(ids)
+    return _voronoi_fixpoint(
+        init_d, init_f, ok, tuple(float(a) for a in anisotropy), int(max_rounds)
+    )
+
+
 def flood_fill(seed_mask, ok_mask, connectivity: int = 6) -> jnp.ndarray:
     """Binary reachability: all ok voxels connected to seed_mask.
 

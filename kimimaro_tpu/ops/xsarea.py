@@ -1,0 +1,181 @@
+"""Plane-box cross-section areas on device (the xs3d-core replacement).
+
+The reference uses the xs3d C++ library to compute, for a plane through a
+point, the exact area of the in-plane connected cross-section of a binary
+volume (/root/reference/kimimaro/utility.py:494-511). TPU-native design:
+
+  1. Per-voxel plane-cube intersection areas in closed form. The area of a
+     box sliced by a plane at signed center distance t equals
+     boxvol * pdf(t) of the sum of three independent uniforms whose widths
+     are the box-edge projections onto the normal (a box-spline density).
+     We evaluate that piecewise-quadratic density *stably* (no catastrophic
+     1/(n1*n2*n3) corner inclusion-exclusion) by sorting the three
+     projection widths and integrating the trapezoid profile of the two
+     largest over the window of the smallest. Pure elementwise math -> VPU.
+  2. The section is restricted to the component connected to the query
+     vertex via the directional-sweep flood fill (ops.geodesic), matching
+     xs3d's in-plane flood semantics.
+  3. A 6-bit xxyyzz low/high face-contact bitfield is computed from the
+     kept section mask.
+
+Everything batches over vertices with vmap so one device dispatch evaluates
+many sectioning planes of the same label crop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geodesic import flood_fill
+
+_EPS = 1e-20
+
+
+def _trapezoid_integral(x, a, b):
+    """I(x) = integral_0^x r(u) du for the symmetric trapezoid
+    r(u) = clamp01(((a+b)/2 - |u|)/b), handled as an odd function."""
+    M = (a + b) / 2.0
+    ax = jnp.abs(x)
+    flat = jnp.minimum(ax, jnp.maximum(M - b, 0.0))
+    xhat = jnp.clip(ax, M - b, M)
+    ramp = (b * b - (M - xhat) ** 2) / (2.0 * jnp.maximum(b, _EPS))
+    return jnp.sign(x) * (flat + ramp)
+
+
+def box_plane_area(t, normal, anisotropy):
+    """Area of the intersection of a plane with an axis-aligned box.
+
+    t: (...,) signed distance from box center to the plane along `normal`
+       (physical units).
+    normal: (..., 3) unit plane normal (physical space).
+    anisotropy: (3,) box edge lengths.
+
+    Exact for the piecewise-quadratic box-spline profile; the degenerate
+    axis-aligned cases (1 or 2 near-zero projection widths) are handled by
+    a midpoint branch that is exact there.
+    """
+    s = jnp.asarray(anisotropy, dtype=jnp.float32)
+    w = jnp.abs(normal) * s  # projection widths, (...,3)
+    w_sorted = jnp.sort(w, axis=-1)
+    a = w_sorted[..., 2]
+    b = w_sorted[..., 1]
+    c = w_sorted[..., 0]
+
+    M = (a + b) / 2.0
+    r_mid = jnp.clip((M - jnp.abs(t)) / jnp.maximum(b, _EPS), 0.0, 1.0)
+
+    ic = jnp.maximum(c, _EPS)
+    mean_big = (
+        _trapezoid_integral(t + c / 2.0, a, b)
+        - _trapezoid_integral(t - c / 2.0, a, b)
+    ) / ic
+    mean = jnp.where(c <= 1e-3 * a, r_mid, jnp.clip(mean_big, 0.0, 1.0))
+
+    boxvol = s[0] * s[1] * s[2]
+    return boxvol / jnp.maximum(a, _EPS) * mean
+
+
+@functools.partial(jax.jit, static_argnames=("anisotropy",))
+def _sections_batch(fg, verts, normals, anisotropy: Tuple[float, float, float]):
+    """Batched cross sections: for each (vertex, normal) pair, the area of
+    the plane section of `fg` connected to the vertex + face-contact bits.
+
+    fg: (X,Y,Z) bool; verts: (B,3) int32 voxel coords; normals: (B,3) unit.
+    Returns: areas (B,), contacts (B,) uint8.
+    """
+    s = np.asarray(anisotropy, dtype=np.float32)
+    shape = fg.shape
+    gx = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+    gy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+    gz = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+
+    def one(vert, normal):
+        p0 = vert.astype(jnp.float32) * s
+        t = (
+            (gx * s[0] - p0[0]) * normal[0]
+            + (gy * s[1] - p0[1]) * normal[1]
+            + (gz * s[2] - p0[2]) * normal[2]
+        )
+        areas = box_plane_area(t, normal, anisotropy)
+        sec = fg & (areas > 0.0)
+
+        seed = jnp.zeros(shape, dtype=bool).at[vert[0], vert[1], vert[2]].set(True)
+        kept = flood_fill(seed & sec, sec, connectivity=26)
+
+        area = jnp.sum(jnp.where(kept, areas, 0.0))
+
+        contact = jnp.uint8(0)
+        for axis in range(3):
+            lo = jnp.any(jnp.take(kept, 0, axis=axis))
+            hi = jnp.any(jnp.take(kept, shape[axis] - 1, axis=axis))
+            contact = contact | (lo.astype(jnp.uint8) << (2 * axis))
+            contact = contact | (hi.astype(jnp.uint8) << (2 * axis + 1))
+        return area, contact
+
+    return jax.vmap(one)(verts, normals)
+
+
+def cross_section_areas(
+    binimg,
+    verts,
+    normals,
+    anisotropy: Sequence[float] = (1, 1, 1),
+    batch: int = 16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host driver: evaluate many sectioning planes of one binary image.
+
+    verts: (N,3) int voxel coords; normals: (N,3) unit physical normals.
+    Returns (areas float32 (N,), contacts uint8 (N,)).
+    """
+    fg = jnp.asarray(binimg) != 0
+    verts = np.asarray(verts, dtype=np.int32).reshape(-1, 3)
+    normals = np.asarray(normals, dtype=np.float32).reshape(-1, 3)
+    n = verts.shape[0]
+    anisotropy = tuple(float(a) for a in anisotropy)
+
+    areas = np.zeros(n, dtype=np.float32)
+    contacts = np.zeros(n, dtype=np.uint8)
+    for i in range(0, n, batch):
+        v = verts[i: i + batch]
+        m = normals[i: i + batch]
+        pad = batch - v.shape[0]
+        if pad:
+            v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
+            m = np.concatenate([m, np.tile([[1.0, 0, 0]], (pad, 1))])
+        a, c = _sections_batch(fg, jnp.asarray(v), jnp.asarray(m), anisotropy)
+        areas[i: i + batch] = np.asarray(a)[: batch - pad if pad else batch]
+        contacts[i: i + batch] = np.asarray(c)[: batch - pad if pad else batch]
+    return areas, contacts
+
+
+def cross_section_image(
+    binimg, vert, normal, anisotropy: Sequence[float] = (1, 1, 1)
+) -> np.ndarray:
+    """Float image of per-voxel section areas for one plane (the xs3d
+    `cross_section` analogue, used by visualize_section_planes)."""
+    fg = jnp.asarray(binimg) != 0
+    anisotropy = tuple(float(a) for a in anisotropy)
+    s = np.asarray(anisotropy, dtype=np.float32)
+    shape = fg.shape
+    vert = np.asarray(vert, dtype=np.int32)
+    normal = np.asarray(normal, dtype=np.float32)
+
+    gx = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+    gy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+    gz = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+    p0 = vert.astype(np.float32) * s
+    t = (
+        (gx * s[0] - p0[0]) * normal[0]
+        + (gy * s[1] - p0[1]) * normal[1]
+        + (gz * s[2] - p0[2]) * normal[2]
+    )
+    areas = box_plane_area(t, jnp.asarray(normal), anisotropy)
+    sec = fg & (areas > 0.0)
+    seed = jnp.zeros(shape, dtype=bool).at[vert[0], vert[1], vert[2]].set(True)
+    kept = flood_fill(seed & sec, sec, connectivity=26)
+    return np.asarray(jnp.where(kept, areas, 0.0))

@@ -1,0 +1,19 @@
+from .sharded import (
+    AXIS,
+    make_mesh,
+    preamble_step,
+    shard_volume,
+    sharded_ccl_rounds,
+    sharded_distance_rounds,
+    sharded_edtsq,
+)
+
+__all__ = [
+    "AXIS",
+    "make_mesh",
+    "preamble_step",
+    "shard_volume",
+    "sharded_ccl_rounds",
+    "sharded_distance_rounds",
+    "sharded_edtsq",
+]

@@ -1,0 +1,433 @@
+"""Multi-chip volume sharding for the skeletonization preamble.
+
+The reference scales two ways: a POSIX-shm process pool over labels
+(/root/reference/kimimaro/intake.py:344-432) and a zero-communication
+chunked protocol for out-of-core volumes (README.md:389-409). On TPU the
+analogues are:
+
+  1. One chip already executes each label's field sweeps data-parallel, so
+     the process pool disappears.
+  2. Volumes exceeding one chip's HBM are sharded over a
+     `jax.sharding.Mesh` and the field kernels communicate over ICI:
+       - the multi-label EDT's pass along the sharded axis runs as a
+         *ring min-plus*: each device keeps its slab of output lines and
+         accumulates the parabola lower-envelope contribution of every
+         other slab as the (distances, labels) blocks rotate around the
+         ring via `ppermute` — the same schedule as ring attention, with
+         min-plus replacing matmul;
+       - the SSSP/flood sweeps exchange one boundary plane per round via
+         `ppermute` halos;
+       - connected-components labeling propagates min-ids through the same
+         halos.
+  3. Cross-pod/out-of-core scaling reuses the reference's own insight:
+     fix_borders makes chunk results mergeable with zero runtime
+     communication (kimimaro_tpu.intake.compute_border_targets +
+     post.postprocess).
+
+Everything here is shape-static and jit/shard_map friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.edt import BIG, _parabola_pass
+from ..ops.geodesic import OFFSETS26, _off_cost, _plane_offsets
+from ..ops.stencils import shifted
+
+INF = np.float32(np.inf)
+AXIS = "shard"  # mesh axis name; the volume's leading dim is sharded over it
+
+
+def make_mesh(n_devices: int) -> Mesh:
+    """1D device mesh over the volume's leading axis. Falls back to the
+    virtual CPU devices when the default backend has too few chips."""
+    devs = jax.devices()
+    if len(devs) < n_devices:
+        cpu = jax.devices("cpu")
+        if len(cpu) >= n_devices:
+            devs = cpu
+    return Mesh(np.array(devs[:n_devices]), (AXIS,))
+
+
+def shard_volume(vol, mesh: Mesh):
+    """Place a volume with its leading axis sharded over the mesh."""
+    return jax.device_put(vol, NamedSharding(mesh, P(AXIS)))
+
+
+# --------------------------------------------------------------------------- #
+# Ring min-plus parabola pass (the sharded-axis EDT pass)
+
+
+def _block_envelope(d_blk, l_blk, d_out, l_out, i_glob, j_glob, w):
+    """min over j in the resident block of (g + w^2 (i - j)^2) for every
+    local output position i; g = d_blk[j] when labels match else 0.
+
+    d_blk/l_blk: (nb, L); d_out/l_out: (ni, L); i_glob: (ni,), j_glob: (nb,).
+    Returns the updated (ni, L) envelope.
+    """
+    # kernel (ni, nb)
+    kern = (np.float32(w) ** 2) * (
+        i_glob[:, None].astype(jnp.float32) - j_glob[None, :].astype(jnp.float32)
+    ) ** 2
+
+    # tile across L to bound the broadcast buffer (~32MB)
+    L = d_out.shape[1]
+    nb = d_blk.shape[0]
+    ni = d_out.shape[0]
+    chunk = max(1, min(L, (1 << 23) // max(1, ni * nb)))
+    nchunks = -(-L // chunk)
+    pad = nchunks * chunk - L
+    d_b = jnp.pad(d_blk, ((0, 0), (0, pad)), constant_values=BIG)
+    l_b = jnp.pad(l_blk, ((0, 0), (0, pad)), constant_values=0)
+    d_o = jnp.pad(d_out, ((0, 0), (0, pad)), constant_values=BIG)
+    l_o = jnp.pad(l_out, ((0, 0), (0, pad)), constant_values=0)
+
+    d_b = d_b.reshape(nb, nchunks, chunk).transpose(1, 0, 2)  # (C, nb, chunk)
+    l_b = l_b.reshape(nb, nchunks, chunk).transpose(1, 0, 2)
+    d_o = d_o.reshape(ni, nchunks, chunk).transpose(1, 0, 2)  # (C, ni, chunk)
+    l_o = l_o.reshape(ni, nchunks, chunk).transpose(1, 0, 2)
+
+    def one(args):
+        db, lb, do, lo = args
+        same = lo[:, None, :] == lb[None, :, :]  # (ni, nb, chunk)
+        g = jnp.where(same, db[None, :, :], 0.0)
+        cand = jnp.min(g + kern[:, :, None], axis=1)  # (ni, chunk)
+        return jnp.minimum(do, cand)
+
+    out = jax.lax.map(one, (d_b, l_b, d_o, l_o))  # (C, ni, chunk)
+    out = out.transpose(1, 0, 2).reshape(ni, nchunks * chunk)[:, :L]
+    return out
+
+
+def _ring_parabola_pass(d, labels, w: float, black_border: bool, n_total: int,
+                        n_dev: int):
+    """Exact parabola pass along the sharded leading axis, executed as a
+    ring: blocks of (distances, labels) rotate across devices while each
+    device folds their lower-envelope contribution into its own lines.
+
+    d, labels: local shards (n_loc, n1, n2). Runs inside shard_map.
+    """
+    n_loc = d.shape[0]
+    L = d.shape[1] * d.shape[2]
+    d2 = d.reshape(n_loc, L)
+    l2 = labels.reshape(n_loc, L)
+
+    my = jax.lax.axis_index(AXIS)
+    i_glob = my * n_loc + jnp.arange(n_loc)
+
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    out = jnp.full_like(d2, BIG)
+    blk_d, blk_l, blk_owner = d2, l2, my
+
+    for step in range(n_dev):
+        j_glob = blk_owner * n_loc + jnp.arange(n_loc)
+        out = _block_envelope(blk_d, blk_l, out, l2, i_glob, j_glob, w)
+        if step + 1 < n_dev:
+            blk_d = jax.lax.ppermute(blk_d, AXIS, perm)
+            blk_l = jax.lax.ppermute(blk_l, AXIS, perm)
+            blk_owner = (blk_owner - 1) % n_dev
+
+    out = jnp.minimum(out, d2)  # fold previous-pass distances
+
+    if black_border:
+        ii = i_glob.astype(jnp.float32)
+        border = (np.float32(w) ** 2) * jnp.minimum(
+            ii + 1.0, jnp.float32(n_total) - ii
+        ) ** 2
+        out = jnp.minimum(out, border[:, None])
+
+    return out.reshape(d.shape)
+
+
+def sharded_edtsq(
+    labels,
+    mesh: Mesh,
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+    black_border: bool = False,
+):
+    """Multi-label anisotropic squared EDT with the volume sharded over the
+    mesh's leading axis. Passes along unsharded axes are local
+    (ops.edt._parabola_pass); the sharded-axis pass is the ring min-plus."""
+    labels = jnp.asarray(labels)
+    n0, n1, n2 = labels.shape
+    n_dev = mesh.devices.size
+    assert n0 % n_dev == 0, "leading axis must divide evenly over the mesh"
+    anis = tuple(float(a) for a in anisotropy)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS), ),
+        out_specs=P(AXIS),
+        check_rep=False,
+    )
+    def impl(lab):
+        d = jnp.full(lab.shape, BIG, dtype=jnp.float32)
+
+        # local passes along axes 1 and 2
+        for axis in (1, 2):
+            w = anis[axis]
+            n = lab.shape[axis]
+            if n == 1:
+                if black_border:
+                    d = jnp.minimum(d, np.float32(w) ** 2)
+                continue
+            line_block = max(1, min(128, (1 << 24) // max(1, n * n)))
+            lab_t = jnp.moveaxis(lab, axis, -1).reshape(-1, n)
+            d_t = jnp.moveaxis(d, axis, -1).reshape(-1, n)
+            out = _parabola_pass(d_t, lab_t, w, bool(black_border), line_block)
+            out = out.reshape(jnp.moveaxis(d, axis, -1).shape)
+            d = jnp.moveaxis(out, -1, axis)
+
+        # ring pass along the sharded axis 0
+        d = _ring_parabola_pass(d, lab, anis[0], bool(black_border), n0, n_dev)
+
+        d = jnp.where(lab == 0, 0.0, d)
+        return d
+
+    return impl(labels)
+
+
+# --------------------------------------------------------------------------- #
+# Halo-exchange directional sweeps (sharded SSSP / flood / invalidation)
+
+
+def _halo_planes(x, n_dev):
+    """Exchange boundary planes with ring neighbors. Returns (from_prev,
+    from_next) planes of the same (1, n1, n2)-like shape."""
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    last = x[-1:]
+    first = x[:1]
+    from_prev = jax.lax.ppermute(last, AXIS, fwd)   # neighbor below's last plane
+    from_next = jax.lax.ppermute(first, AXIS, bwd)  # neighbor above's first plane
+    return from_prev, from_next
+
+
+def sharded_distance_rounds(
+    init_dist,
+    ok_mask,
+    mesh: Mesh,
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+    node_cost=None,
+    rounds: int = 8,
+):
+    """Run `rounds` of the six directional plane sweeps with cross-shard
+    halo exchange on the leading axis. Within a shard one round extends
+    every monotone geodesic fully; across shards information moves one
+    shard boundary per round per direction, so exact SSSP needs
+    rounds >= n_shards + (number of direction reversals). Iterate to
+    fixpoint for exact distances (kimimaro_tpu.ops.geodesic, distributed)."""
+    anis = tuple(float(a) for a in anisotropy)
+    n_dev = mesh.devices.size
+    node_mode = node_cost is not None
+    nc_in = node_cost if node_mode else jnp.zeros_like(init_dist)
+
+    my_ring = jax.lax if False else None  # silence linters
+
+    def sweep(d, ok, nc, axis, direction, edge_plane):
+        """Directional sweep along `axis`; for the sharded axis the
+        incoming halo plane seeds the first step."""
+        n = d.shape[axis]
+        offs = _plane_offsets(axis, direction)
+        plane_shifts = [
+            (tuple(o[a] for a in range(3) if a != axis), _off_cost(o, anis))
+            for o in offs
+        ]
+        dd = jnp.moveaxis(d, axis, 0)
+        mm = jnp.moveaxis(ok, axis, 0)
+        ncc = jnp.moveaxis(nc, axis, 0)
+        if direction < 0:
+            dd, mm, ncc = dd[::-1], mm[::-1], ncc[::-1]
+
+        def relax(prev, cur, okc, ncur):
+            cand = jnp.full_like(cur, INF)
+            for po, c in plane_shifts:
+                s = shifted(prev, po, INF)
+                if node_mode:
+                    cand = jnp.minimum(cand, s)
+                else:
+                    cand = jnp.minimum(cand, s + c)
+            if node_mode:
+                cand = cand + ncur
+            return jnp.where(okc, jnp.minimum(cur, cand), INF)
+
+        first = dd[0]
+        if edge_plane is not None:
+            first = relax(edge_plane[0], dd[0], mm[0], ncc[0])
+
+        def step(prev, x):
+            cur, okc, ncur = x
+            new = relax(prev, cur, okc, ncur)
+            return new, new
+
+        _, rest = jax.lax.scan(step, first, (dd[1:], mm[1:], ncc[1:]))
+        out = jnp.concatenate([first[None], rest], axis=0)
+        if direction < 0:
+            out = out[::-1]
+        return jnp.moveaxis(out, 0, axis)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+        check_rep=False,
+    )
+    def impl(d, ok, nc):
+        d = jnp.where(ok, d, INF)
+
+        def one_round(d, _):
+            # sharded axis 0: halo in both directions
+            from_prev, from_next = _halo_planes(d, n_dev)
+            my = jax.lax.axis_index(AXIS)
+            # devices at the ring edges must not wrap: mask the halo
+            from_prev = jnp.where(my == 0, INF, from_prev)
+            from_next = jnp.where(my == n_dev - 1, INF, from_next)
+            d = sweep(d, ok, nc, 0, 1, from_prev)
+            d = sweep(d, ok, nc, 0, -1, from_next)
+            for axis in (1, 2):
+                for direction in (1, -1):
+                    d = sweep(d, ok, nc, axis, direction, None)
+            return d, None
+
+        d, _ = jax.lax.scan(one_round, d, None, length=rounds)
+        return d
+
+    return impl(init_dist, jnp.asarray(ok_mask, dtype=bool), nc_in)
+
+
+# --------------------------------------------------------------------------- #
+# Sharded connected-components labeling (min-id propagation with halos)
+
+
+def sharded_ccl_rounds(labels, mesh: Mesh, rounds: int = 16):
+    """26-connected multi-label CCL by min-linear-index propagation with
+    one-plane halo exchange per round + local pointer jumping."""
+    labels = jnp.asarray(labels)
+    n_dev = mesh.devices.size
+    n0 = labels.shape[0]
+    n_loc = n0 // n_dev
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS),),
+        out_specs=P(AXIS),
+        check_rep=False,
+    )
+    def impl(lab):
+        my = jax.lax.axis_index(AXIS)
+        shape = lab.shape
+        fg = lab != 0
+        base = (my * n_loc) * (shape[1] * shape[2])
+        lin = (
+            jnp.arange(1, lab.size + 1, dtype=jnp.int32).reshape(shape) + base
+        )
+        ids = jnp.where(fg, lin, 0)
+
+        def one_round(ids, _):
+            # halo exchange of boundary planes (ids and labels)
+            fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+            prev_ids = jax.lax.ppermute(ids[-1:], AXIS, fwd)
+            next_ids = jax.lax.ppermute(ids[:1], AXIS, bwd)
+            prev_lab = jax.lax.ppermute(lab[-1:], AXIS, fwd)
+            next_lab = jax.lax.ppermute(lab[:1], AXIS, bwd)
+            big = jnp.iinfo(jnp.int32).max
+            prev_ids = jnp.where(my == 0, 0, prev_ids)
+            next_ids = jnp.where(my == n_dev - 1, 0, next_ids)
+
+            ids_ext = jnp.concatenate([prev_ids, ids, next_ids], axis=0)
+            lab_ext = jnp.concatenate([prev_lab, lab, next_lab], axis=0)
+
+            best = ids
+            for off in OFFSETS26:
+                nb_ids = shifted(ids_ext, off, 0)[1:-1]
+                nb_lab = shifted(lab_ext, off, 0)[1:-1]
+                okn = fg & (nb_lab == lab) & (nb_ids > 0) & (nb_ids < best)
+                best = jnp.where(okn, nb_ids, best)
+
+            # local pointer jumping (only ids resident in this shard)
+            lo = base
+            hi = base + ids.size
+
+            def jump(v):
+                flat = v.ravel()
+                local = (v > lo) & (v <= hi)
+                idx = jnp.clip(v - 1 - lo, 0, ids.size - 1).ravel()
+                hop = flat[idx].reshape(v.shape)
+                return jnp.where(local & (hop > 0), jnp.minimum(v, hop), v)
+
+            best = jump(jump(best))
+            return best, None
+
+        ids, _ = jax.lax.scan(one_round, ids, None, length=rounds)
+        return ids
+
+    return impl(labels)
+
+
+# --------------------------------------------------------------------------- #
+# The sharded preamble "step" (drives dryrun_multichip)
+
+
+def preamble_step(
+    labels,
+    mesh: Mesh,
+    anisotropy: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    pdrf_scale: float = 100000.0,
+    pdrf_exponent: int = 4,
+    sweep_rounds: int = 2,
+    ccl_rounds: int = 4,
+):
+    """One full sharded preamble pass: multi-label EDT (ring pass over the
+    mesh) -> PDRF penalty field (fused elementwise) -> CCL rounds ->
+    distance-sweep rounds. This is the compute body that a multi-chip
+    skeletonization would iterate; `__graft_entry__.dryrun_multichip` jits
+    it over an N-device mesh."""
+    labels = jnp.asarray(labels)
+
+    dsq = sharded_edtsq(labels, mesh, anisotropy, black_border=False)
+    dbf = jnp.sqrt(dsq)
+
+    dbf_max = jnp.maximum(jnp.max(dbf), 1e-6)
+    m = 1.0 / dbf_max**1.01
+    dbf_inf = jnp.where(dbf == 0, INF, dbf)
+    p = 1.0 - dbf_inf * m
+    e = int(pdrf_exponent)
+    while e > 1:  # powers of two
+        p = p * p
+        e >>= 1
+    pdrf = p * pdrf_scale
+
+    cc = sharded_ccl_rounds(labels, mesh, rounds=ccl_rounds)
+
+    # distance field seeded at the global DBF argmax (a root proxy)
+    flat_idx = jnp.argmax(dbf)
+    init = jnp.where(
+        jnp.arange(labels.size).reshape(labels.shape) == flat_idx, 0.0, INF
+    ).astype(jnp.float32)
+    daf = sharded_distance_rounds(
+        init, labels != 0, mesh, anisotropy, rounds=sweep_rounds
+    )
+
+    return {"dbf": dbf, "pdrf": pdrf, "cc": cc, "daf": daf}

@@ -1,0 +1,264 @@
+"""Cross-sectional area analysis along skeleton paths.
+
+TPU-native rebuild of /root/reference/kimimaro/utility.py:168-560 (xs3d
+call sites replaced by the device plane-section kernel in ops.xsarea).
+Adds `cross_sectional_area` / `cross_sectional_area_contacts` per-vertex
+attributes; supports smoothing_window, step, multipass, repair_contacts.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from .ops.xsarea import cross_section_areas
+from .skeleton import Skeleton
+from .utility import add_property, find_objects, moving_average
+from .utils.bbox import Bbox
+
+XS_PROP = {
+    "id": "cross_sectional_area",
+    "data_type": "float32",
+    "num_components": 1,
+}
+XS_CONTACT_PROP = {
+    "id": "cross_sectional_area_contacts",
+    "data_type": "uint8",
+    "num_components": 1,
+}
+
+
+def shape_iterator(all_labels, skeletons, fill_holes, in_place, progress, fn):
+    """Iterate skeletons with their grown binary bbox crops
+    (reference utility.py:114-166)."""
+    from .ops import fill as fill_ops
+    import jax
+
+    if isinstance(skeletons, dict):
+        iterator = list(skeletons.values())
+    elif hasattr(skeletons, "vertices"):
+        iterator = [skeletons]
+    else:
+        iterator = list(skeletons)
+
+    all_labels = np.asarray(all_labels)
+    if all_labels.dtype == bool:
+        remapping = {True: 1, False: 0, 1: 1, 0: 0}
+        lookup = all_labels.view(np.uint8)
+    else:
+        uniq, first_idx, inv = np.unique(
+            all_labels, return_index=True, return_inverse=True
+        )
+        has_bg = len(uniq) > 0 and uniq[0] == 0
+        fg_uniq = uniq[1:] if has_bg else uniq
+        fg_first = first_idx[1:] if has_bg else first_idx
+        order = np.argsort(fg_first, kind="stable")
+        new_ids = np.empty(len(fg_uniq), dtype=np.int64)
+        new_ids[order] = np.arange(1, len(fg_uniq) + 1)
+        full_new = np.concatenate([[0], new_ids]) if has_bg else new_ids
+        lookup = full_new[inv].reshape(all_labels.shape)
+        remapping = {int(u): int(n) for u, n in zip(fg_uniq, new_ids)}
+
+    all_slices = find_objects(lookup)
+
+    for skel in iterator:
+        label = 1 if all_labels.dtype == bool else skel.id
+        if label == 0 or label not in remapping:
+            continue
+        label = remapping[label]
+        slices = all_slices[label - 1]
+        if slices is None:
+            continue
+
+        roi = Bbox.from_slices(slices)
+        if roi.volume() <= 1:
+            continue
+        roi.grow(1)
+        roi.minpt = np.clip(roi.minpt, 0, None)
+        roi.maxpt = np.minimum(roi.maxpt, np.array(lookup.shape))
+        slices = roi.to_slices()
+
+        binimg = lookup[slices] == label
+        if fill_holes:
+            binimg = np.asarray(jax.device_get(fill_ops.fill(binimg)))
+
+        fn(skel, binimg, roi)
+
+    return iterator
+
+
+def cross_sectional_area(
+    all_labels,
+    skeletons: Union[Dict[int, Skeleton], List[Skeleton], Skeleton],
+    anisotropy=np.array([1, 1, 1], dtype=np.float32),
+    smoothing_window: int = 1,
+    progress: bool = False,
+    in_place: bool = False,
+    fill_holes: bool = False,
+    multipass: bool = False,
+    repair_contacts: bool = False,
+    visualize_section_planes: bool = False,
+    step: int = 1,
+):
+    """Per-vertex cross sectional areas for skeletons embedded in a labeled
+    volume (reference utility.py:351-560). The plane normal at each vertex
+    is the smoothed path tangent (forward+backward moving average to kill
+    phase shift, reference utility.py:457-460)."""
+    assert step > 0
+    assert smoothing_window > 0
+
+    anisotropy = np.asarray(anisotropy, dtype=np.float32)
+
+    def helper(skel, binimg, roi):
+        _cross_sectional_area_impl(
+            binimg, skel, roi, anisotropy, smoothing_window,
+            multipass, repair_contacts, visualize_section_planes, step,
+        )
+
+    shape_iterator(all_labels, skeletons, fill_holes, in_place, progress, helper)
+
+    if hasattr(skeletons, "vertices"):
+        skelitr = [skeletons]
+    elif isinstance(skeletons, dict):
+        skelitr = list(skeletons.values())
+    else:
+        skelitr = list(skeletons)
+
+    for skel in skelitr:
+        add_property(skel, XS_PROP)
+        add_property(skel, XS_CONTACT_PROP)
+        if not hasattr(skel, "cross_sectional_area"):
+            skel.cross_sectional_area = np.full(
+                len(skel.vertices), -1, dtype=np.float32
+            )
+        if not hasattr(skel, "cross_sectional_area_contacts"):
+            skel.cross_sectional_area_contacts = np.zeros(
+                len(skel.vertices), dtype=np.uint8
+            )
+
+    return skeletons
+
+
+def cross_sectional_area_single(
+    binimg,
+    skel: Skeleton,
+    roi: Optional[Bbox] = None,
+    anisotropy=np.array([1, 1, 1], dtype=np.float32),
+    smoothing_window: int = 1,
+    progress: bool = False,
+    in_place: bool = False,
+    multipass: bool = False,
+    repair_contacts: bool = False,
+    visualize_section_planes: bool = False,
+    step: int = 1,
+) -> Skeleton:
+    """Cross sectional areas for one skeleton + overlapping binary image
+    (reference utility.py:168-349)."""
+    assert step > 0
+    assert smoothing_window > 0
+    anisotropy = np.asarray(anisotropy, dtype=np.float32)
+    return _cross_sectional_area_impl(
+        binimg, skel, roi, anisotropy, smoothing_window,
+        multipass, repair_contacts, visualize_section_planes, step,
+    )
+
+
+def _cross_sectional_area_impl(
+    binimg, skel, roi, anisotropy, smoothing_window,
+    multipass, repair_contacts, visualize_section_planes, step,
+) -> Skeleton:
+    binimg = np.asarray(binimg)
+    shape = np.array(binimg.shape)
+
+    if skel.space == "physical":
+        all_verts = (skel.vertices / anisotropy).round().astype(int)
+    else:
+        all_verts = np.copy(skel.vertices).astype(int)
+    if roi is not None:
+        all_verts = all_verts - roi.minpt
+
+    mapping = {tuple(v): i for i, v in enumerate(all_verts)}
+    visited = np.zeros(all_verts.shape[0], dtype=bool)
+
+    if repair_contacts or (multipass and hasattr(skel, "cross_sectional_area")):
+        areas = skel.cross_sectional_area
+        contacts = skel.cross_sectional_area_contacts
+    else:
+        areas = np.zeros(all_verts.shape[0], dtype=np.float32)
+        contacts = np.zeros(all_verts.shape[0], dtype=np.uint8)
+
+    branch_pts = set(int(b) for b in skel.branches())
+    branch_pt_vals = defaultdict(list)
+
+    # gather all (vertex, normal) queries first, then evaluate in device
+    # batches — one dispatch covers many sectioning planes
+    query_verts: List[tuple] = []
+    query_normals: List[np.ndarray] = []
+    query_idx: List[int] = []
+
+    for path in skel.paths():
+        if skel.space == "physical":
+            path = (path / anisotropy).round().astype(int)
+        else:
+            path = path.astype(int)
+        if roi is not None:
+            path = path - roi.minpt
+        if len(path) < 2:
+            continue
+
+        normals = (path[1:] - path[:-1]).astype(np.float32)
+        normals = np.concatenate([normals, [normals[-1]]])
+        # forward+backward moving average kills phase shift
+        normals = moving_average(normals, smoothing_window)
+        normals = moving_average(normals[::-1], smoothing_window)[::-1]
+        norm = np.linalg.norm(normals, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        normals = normals / norm
+
+        end_i = len(path) - 1
+        ct = 0
+        for i, vert in enumerate(path):
+            ct += 1
+            if ct < step and not (i == 0 or i == end_i):
+                continue
+            elif ct == step:
+                ct = 0
+
+            if np.any(vert < 0) or np.any(vert >= shape):
+                continue
+
+            idx = mapping[tuple(vert)]
+            if (
+                areas[idx] == 0
+                or (idx in branch_pts)
+                or (repair_contacts and contacts[idx] > 0 and not visited[idx])
+            ):
+                visited[idx] = True
+                query_verts.append(tuple(vert))
+                query_normals.append(normals[i])
+                query_idx.append(idx)
+
+    if query_verts:
+        qareas, qcontacts = cross_section_areas(
+            binimg, np.array(query_verts), np.array(query_normals), anisotropy
+        )
+        for k, idx in enumerate(query_idx):
+            areas[idx] = qareas[k]
+            if repair_contacts:
+                contacts[idx] = qcontacts[k]
+            else:
+                contacts[idx] |= qcontacts[k]
+            if idx in branch_pts:
+                branch_pt_vals[idx].append(float(qareas[k]))
+
+    for idx, vals in branch_pt_vals.items():
+        areas[idx] = sum(vals) / len(vals)
+
+    skel.cross_sectional_area = np.asarray(areas, dtype=np.float32)
+    skel.cross_sectional_area_contacts = np.asarray(contacts, dtype=np.uint8)
+
+    add_property(skel, XS_PROP)
+    add_property(skel, XS_CONTACT_PROP)
+    return skel
