@@ -90,63 +90,200 @@ def skeletonize(
     if minlabel == 0 and maxlabel == 0:
         return {}
 
-    cc_labels, remapping = compute_cc_labels(all_labels)
-    del all_labels
+    # labels wider than 32 bits are renumbered on host first (the device
+    # works in 32-bit); wide_back restores original ids at the end
+    wide_back = None
+    if all_labels.dtype.itemsize > 4:
+        u = np.unique(all_labels)
+        u_nz = u[u != 0]
+        compact = np.searchsorted(u_nz, all_labels).astype(np.uint32) + 1
+        compact[all_labels == 0] = 0
+        wide_back = {i + 1: int(v) for i, v in enumerate(u_nz)}
+        all_labels = compact
 
-    if fill_holes:
-        cc_labels = fill_all_holes(cc_labels, progress)
+    # --- device-resident preamble (CCL + compact renumber + metadata):
+    # the full volumes never round-trip to the host on the fast path
+    from .ops.ccl import compact_cc, connected_components, label_info
 
-    extra_targets_before = points_to_labels(extra_targets_before, cc_labels)
-    extra_targets_after = points_to_labels(extra_targets_after, cc_labels)
+    labels_dev = jnp.asarray(all_labels)
+    cc_raw = connected_components(labels_dev)
+    cc_dev, n_comp = compact_cc(cc_raw)
+    del cc_raw
+    n_components = int(n_comp)
+    if n_components == 0:
+        return {}
 
-    def edtfn(labels):
-        d = edt_ops.edt(
-            labels,
+    def fetch_info(cc_dev):
+        n_max = 1 << max(int(np.ceil(np.log2(max(n_components, 2)))), 1)
+        counts, bbmin, bbmax, orig = label_info(cc_dev, labels_dev, n_max=n_max)
+        counts, bbmin, bbmax, orig = jax.device_get(
+            (counts, bbmin, bbmax, orig)
+        )
+        return (
+            np.asarray(counts)[: n_components + 1],
+            np.asarray(bbmin)[: n_components + 1],
+            np.asarray(bbmax)[: n_components + 1],
+            np.asarray(orig)[: n_components + 1],
+        )
+
+    def edtfn_dev(cc):
+        return edt_ops.edt(
+            cc,
             anisotropy=tuple(float(a) for a in anisotropy),
             black_border=(minlabel == maxlabel),
         )
-        return np.asarray(jax.device_get(d))
 
-    all_dbf = edtfn(cc_labels)
+    host_stages = fill_holes or fix_avocados
 
-    if fix_avocados:
-        cc_labels, all_dbf, remapping = engage_avocado_protection(
-            cc_labels,
-            all_dbf,
-            remapping,
-            soma_detection_threshold=teasar_params.get("soma_detection_threshold", 0),
-            edtfn=edtfn,
-            progress=progress,
-        )
+    if host_stages:
+        # optional host transforms need the labels on host once
+        cc_labels = np.asarray(jax.device_get(cc_dev))
+        uniqcc, firstcc = np.unique(cc_labels, return_index=True)
+        flat_orig = all_labels.reshape(-1)
+        remapping = {
+            int(u): int(flat_orig[f]) for u, f in zip(uniqcc, firstcc) if u != 0
+        }
 
-    cc_segids, pxct = np.unique(cc_labels, return_counts=True)
-    cc_segids = [
-        int(sid) for sid, ct in zip(cc_segids, pxct) if ct > dust_threshold and sid != 0
-    ]
+        if fill_holes:
+            cc_labels = fill_all_holes(cc_labels, progress)
 
-    all_slices = find_objects(cc_labels)
+        def edtfn(labels):
+            return np.asarray(jax.device_get(edtfn_dev(jnp.asarray(labels))))
+
+        all_dbf = edtfn(cc_labels)
+        if fix_avocados:
+            cc_labels, all_dbf, remapping = engage_avocado_protection(
+                cc_labels, all_dbf, remapping,
+                soma_detection_threshold=teasar_params.get(
+                    "soma_detection_threshold", 0
+                ),
+                edtfn=edtfn, progress=progress,
+            )
+        cc_dev = jnp.asarray(cc_labels)
+        dbf_dev = jnp.asarray(all_dbf)
+        cc_segids_all, pxct = np.unique(cc_labels, return_counts=True)
+        counts_map = dict(zip(cc_segids_all.tolist(), pxct.tolist()))
+        slices = find_objects(cc_labels)
+        bb = {}
+        for sid in cc_segids_all:
+            sid = int(sid)
+            if sid == 0 or slices[sid - 1] is None:
+                continue
+            roi = Bbox.from_slices(slices[sid - 1])
+            bb[sid] = (roi.minpt, roi.maxpt - 1)
+        segid_iter = [
+            s for s in counts_map
+            if s != 0 and counts_map[s] > dust_threshold and s in bb
+        ]
+        n_components = int(max(counts_map)) if counts_map else 0
+    else:
+        counts, bbmin, bbmax, orig = fetch_info(cc_dev)
+        remapping = {i: int(orig[i]) for i in range(1, n_components + 1)}
+        dbf_dev = edtfn_dev(cc_dev)
+        counts_map = {i: int(counts[i]) for i in range(1, n_components + 1)}
+        bb = {
+            i: (bbmin[i], bbmax[i])
+            for i in range(1, n_components + 1)
+            if counts[i] > 0
+        }
+        segid_iter = [
+            s for s in range(1, n_components + 1)
+            if counts_map.get(s, 0) > dust_threshold and s in bb
+        ]
+
+    if wide_back is not None:
+        remapping = {k: wide_back[v] for k, v in remapping.items()}
+
+    extra_targets_before = points_to_labels(extra_targets_before, cc_dev)
+    extra_targets_after = points_to_labels(extra_targets_after, cc_dev)
 
     border_targets = defaultdict(list)
     if fix_borders:
-        border_targets = compute_border_targets(cc_labels, anisotropy)
+        border_targets = compute_border_targets(cc_dev, anisotropy)
 
     print_quotes(parallel)  # easter egg (reference intake.py:796-803)
 
-    return skeletonize_subset(
-        all_dbf,
-        cc_labels,
-        remapping,
-        teasar_params,
-        anisotropy,
-        all_slices,
-        border_targets,
-        extra_targets_before,
-        extra_targets_after,
-        progress,
-        fix_borders,
-        fix_branching,
-        cc_segids,
+    # --- assemble per-label jobs for the batched device engine
+    from . import engine
+
+    jobs = []
+    for segid in segid_iter:
+        mn, mx = bb[segid]
+        mn = np.asarray(mn, dtype=np.int64)
+        shape = np.asarray(mx, dtype=np.int64) - mn + 1
+        if int(np.prod(shape)) <= 1:
+            continue
+
+        manual_before, manual_after, root = [], [], None
+
+        def translate(targets):
+            return [tuple(int(c) - int(m) for c, m in zip(t, mn)) for t in targets]
+
+        if len(border_targets[segid]) > 0:
+            manual_before = translate(border_targets[segid])
+            root = manual_before.pop()
+        if segid in extra_targets_before and len(extra_targets_before[segid]) > 0:
+            manual_before.extend(translate(extra_targets_before[segid]))
+        if segid in extra_targets_after and len(extra_targets_after[segid]) > 0:
+            manual_after.extend(translate(extra_targets_after[segid]))
+
+        jobs.append({
+            "segid": segid,
+            "offset": mn,
+            "shape": shape,
+            "before": manual_before,
+            "after": manual_after,
+            "root": root,
+        })
+
+    results, fallback_jobs = engine.trace_batched(
+        cc_dev, dbf_dev, jobs, teasar_params, anisotropy, fix_branching
     )
+
+    skeletons = defaultdict(list)
+    for segid, path_list in results.items():
+        skel = engine.paths_to_skeleton(path_list, anisotropy)
+        if skel.empty():
+            continue
+        mn = next(j["offset"] for j in jobs if j["segid"] == segid)
+        skel.vertices += mn.astype(np.float32)
+        orig_segid = remapping[segid]
+        skel.id = orig_segid
+        skel.vertices = np.multiply(skel.vertices, anisotropy, dtype=np.float32)
+        skel.space = "physical"
+        skeletons[orig_segid].append(skel)
+
+    # host fallback for jobs exceeding the device buffers
+    for job in fallback_jobs:
+        segid = job["segid"]
+        mn = np.asarray(job["offset"], dtype=np.int64)
+        shape = np.asarray(job["shape"], dtype=np.int64)
+        slc = tuple(slice(int(a), int(a + s)) for a, s in zip(mn, shape))
+        labels_crop = np.asarray(jax.device_get(cc_dev[slc])) == segid
+        dbf_crop = np.where(
+            labels_crop, np.asarray(jax.device_get(dbf_dev[slc])), 0.0
+        ).astype(np.float32)
+        skeleton = trace_mod.trace(
+            labels_crop, dbf_crop,
+            anisotropy=tuple(float(a) for a in anisotropy),
+            fix_branching=fix_branching,
+            manual_targets_before=list(job["before"]),
+            manual_targets_after=list(job["after"]),
+            root=job["root"],
+            **teasar_params,
+        )
+        if skeleton.empty():
+            continue
+        skeleton.vertices += mn.astype(np.float32)
+        orig_segid = remapping[segid]
+        skeleton.id = orig_segid
+        skeleton.vertices = np.multiply(
+            skeleton.vertices, anisotropy, dtype=np.float32
+        )
+        skeleton.space = "physical"
+        skeletons[orig_segid].append(skeleton)
+
+    return merge(skeletons)
 
 
 # --------------------------------------------------------------------------- #
@@ -396,6 +533,7 @@ def compute_border_targets(cc_labels: np.ndarray, anisotropy) -> Dict[int, np.nd
 
     for plane, dims, rotatefn in planes:
         wx, wy = float(anisotropy[dims[0]]), float(anisotropy[dims[1]])
+        plane = np.asarray(plane)  # one fetch per face when device-resident
         if not plane.any():
             continue
         plane3 = plane[..., np.newaxis]

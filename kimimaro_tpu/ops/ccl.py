@@ -15,6 +15,7 @@ onto the VPU, versus the sequential union-find scan the CPU reference uses.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -69,6 +70,64 @@ def connected_components(labels) -> jnp.ndarray:
     labels = jnp.asarray(labels)
     assert labels.ndim == 3
     return _ccl_fixpoint(labels)
+
+
+@jax.jit
+def compact_cc(cc_raw):
+    """Device-side compaction of raw CCL output to contiguous 1..N in
+    first-appearance (scan) order — the fastremap.renumber convention — with
+    zero host transfers of the full volume.
+
+    The raw id of a component equals 1 + the minimum linear index of its
+    voxels, so representatives are exactly the voxels where id == lin+1;
+    numbering them by prefix-sum over scan order reproduces the reference's
+    first-appearance numbering (utility.py:58-83).
+
+    Returns (cc int32 compact, n_components, rep_lin (flat) int32 where
+    rep_lin[k-1] = linear index of component k's representative).
+    """
+    n = cc_raw.size
+    flat = cc_raw.ravel()
+    lin = jnp.arange(1, n + 1, dtype=flat.dtype)
+    repmask = flat == lin  # background (0) never matches
+    prefix = jnp.cumsum(repmask.astype(jnp.int32))
+    new_at_rep = jnp.where(repmask, prefix, 0)
+    # every voxel's component id: look up the new id stored at its root
+    cc = jnp.where(flat > 0, new_at_rep[jnp.maximum(flat - 1, 0)], 0)
+    n_components = prefix[-1]
+    return cc.reshape(cc_raw.shape).astype(jnp.int32), n_components
+
+
+@functools.partial(jax.jit, static_argnames=("n_max",))
+def label_info(cc, orig_labels, n_max: int):
+    """Per-component metadata on device: voxel counts, bounding boxes, and
+    the original label of each component (the get_mapping equivalent,
+    reference skeletontricks.pyx:490-525). One small fetch replaces a full
+    volume readback.
+
+    Returns (counts (n_max+1,), bbox_min (n_max+1,3), bbox_max (n_max+1,3)
+    inclusive, orig (n_max+1,)).
+    """
+    shape = cc.shape
+    flat = cc.ravel().astype(jnp.int32)
+    counts = jnp.bincount(flat, length=n_max + 1)
+
+    gx = jax.lax.broadcasted_iota(jnp.int32, shape, 0).ravel()
+    gy = jax.lax.broadcasted_iota(jnp.int32, shape, 1).ravel()
+    gz = jax.lax.broadcasted_iota(jnp.int32, shape, 2).ravel()
+
+    big = jnp.int32(np.iinfo(np.int32).max)
+    bbox_min = jnp.full((n_max + 1, 3), big, dtype=jnp.int32)
+    bbox_max = jnp.full((n_max + 1, 3), -1, dtype=jnp.int32)
+    for axis, g in enumerate((gx, gy, gz)):
+        bbox_min = bbox_min.at[flat, axis].min(g)
+        bbox_max = bbox_max.at[flat, axis].max(g)
+
+    # original label per component (labels must fit uint32; the intake
+    # layer falls back to a host mapping for wider dtypes)
+    orig = jnp.zeros((n_max + 1,), dtype=jnp.uint32)
+    orig = orig.at[flat].max(orig_labels.ravel().astype(jnp.uint32))
+    return counts, bbox_min, bbox_max, orig
 
 
 def renumber_cc(

@@ -1,0 +1,231 @@
+"""Fully fused on-device TEASAR path loop.
+
+The host-orchestrated loop in kimimaro_tpu.trace dispatches ~5 device calls
+per path (argmax, relax, parent fetch, invalidation, rezero), which makes
+per-label latency dispatch-bound. This kernel runs the ENTIRE path loop
+(reference semantics: /root/reference/kimimaro/trace.py:196-267) as one
+`lax.while_loop` inside one jit:
+
+  per path: pick target (manual stack or masked DAF argmax)
+         -> pointer-chase the shortest-path tree of the rail distance field
+            (scalar 3x3x3 window walks, no full parent-field materialized)
+         -> soma-radius culling
+         -> multi-source capped relaxation = rolling-ball invalidation
+         -> zero the PDRF along the path (new rails) and warm-relax the
+            rail distance field (distances only decrease, so the
+            almost-converged field refixes in a couple of sweep rounds)
+
+Paths are written into a static (K, L, 3) buffer; an overflow flag tells
+the host to fall back to the host loop (never observed in practice — K and
+L are sized from max_paths and the crop perimeter).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geodesic import _sweep, OFFSETS26
+from .stencils import offset_costs
+
+INF = np.float32(np.inf)
+
+
+def _relax_fixpoint(d, ok, nc, anisotropy, clamp_positive=False):
+    """Relax to fixpoint with the 6 directional plane sweeps."""
+
+    def one_round(d):
+        for axis in range(3):
+            for direction in (1, -1):
+                d = _sweep(d, ok, nc, axis, direction, anisotropy, clamp_positive)
+        return d
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        d, _ = state
+        nd = one_round(d)
+        return nd, jnp.any(nd != d)
+
+    d, _ = jax.lax.while_loop(cond, body, (d, jnp.bool_(True)))
+    return d
+
+
+def _chase(d_pad, start, max_len: int):
+    """Walk the shortest-path tree from `start` to the nearest rail
+    (d == 0): at each voxel step to the 26-neighbor minimizing the rail
+    distance (first-minimum tie break in lexicographic offset order,
+    matching the host parent_field). Returns (path (L,3) int32 with -1
+    padding, length, reached_rail)."""
+    L = max_len
+
+    def cond(state):
+        i, cur, path, done = state
+        return (~done) & (i < L)
+
+    def body(state):
+        i, cur, path, done = state
+        path = path.at[i].set(cur)
+        dcur = d_pad[cur[0] + 1, cur[1] + 1, cur[2] + 1]
+        at_rail = dcur <= 0.0
+
+        win = jax.lax.dynamic_slice(d_pad, (cur[0], cur[1], cur[2]), (3, 3, 3))
+        flat = win.reshape(27).at[13].set(INF)
+        k = jnp.argmin(flat)
+        off = jnp.stack([k // 9 - 1, (k // 3) % 3 - 1, k % 3 - 1])
+        nxt = cur + off.astype(jnp.int32)
+        cur = jnp.where(at_rail, cur, nxt)
+        return i + 1, cur, path, done | at_rail
+
+    path0 = jnp.full((L, 3), -1, dtype=jnp.int32)
+    i, cur, path, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), start.astype(jnp.int32), path0, jnp.bool_(False))
+    )
+    return path, i, done
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "anisotropy", "fix_branching", "soma_mode", "K", "L",
+    ),
+)
+def fused_path_loop(
+    fg,
+    valid,
+    dbf,
+    daf,
+    pdrf,
+    root,
+    before_targets,  # (T, 3) int32, padded
+    n_before,
+    after_targets,   # (T, 3) int32, padded
+    n_after,
+    scale,
+    const,
+    soma_radius,
+    max_paths,
+    anisotropy: Tuple[float, float, float],
+    fix_branching: bool,
+    soma_mode: bool,
+    K: int,
+    L: int,
+):
+    """Run the whole TEASAR path loop on device.
+
+    Returns (paths (K,L,3) int32 -1-padded, path_lens (K,), n_paths,
+    overflow flag)."""
+    shape = fg.shape
+    anis = jnp.asarray(anisotropy, dtype=jnp.float32)
+
+    # initial rail = root
+    pdrf = pdrf.at[root[0], root[1], root[2]].set(0.0)
+    d0 = jnp.full(shape, INF, dtype=jnp.float32)
+    d0 = d0.at[root[0], root[1], root[2]].set(0.0)
+    d_rail = _relax_fixpoint(d0, fg, pdrf, anisotropy)
+
+    valid_count = jnp.sum(valid).astype(jnp.int32)
+
+    paths0 = jnp.full((K, L, 3), -1, dtype=jnp.int32)
+    lens0 = jnp.zeros((K,), dtype=jnp.int32)
+
+    def cond(state):
+        (k, valid, valid_count, pdrf, d_rail, nb, na, paths, lens, overflow) = state
+        work = (valid_count > 0) | (nb > 0) | (na > 0)
+        return work & (k < jnp.minimum(max_paths, K)) & (~overflow)
+
+    def body(state):
+        (k, valid, valid_count, pdrf, d_rail, nb, na, paths, lens, overflow) = state
+
+        # --- target selection (reference trace.py:225-230)
+        use_before = nb > 0
+        use_after = (~use_before) & (valid_count == 0)
+        masked = jnp.where(valid, daf, -INF)
+        am = jnp.argmax(masked)
+        auto_t = jnp.stack(jnp.unravel_index(am, shape)).astype(jnp.int32)
+        bt = before_targets[jnp.maximum(nb - 1, 0)]
+        at = after_targets[jnp.maximum(na - 1, 0)]
+        target = jnp.where(use_before, bt, jnp.where(use_after, at, auto_t))
+        nb = jnp.where(use_before, nb - 1, nb)
+        na = jnp.where(use_after, na - 1, na)
+
+        # --- chase to the nearest rail
+        d_pad = jnp.pad(d_rail, 1, constant_values=INF)
+        path, plen, reached = _chase(d_pad, target, L)
+        overflow = overflow | (~reached)
+
+        # --- soma culling (reference trace.py:246-251): drop vertices
+        # within soma_radius of the root, keeping the rail anchor (the
+        # last recorded vertex)
+        if soma_mode:
+            dvec = (path.astype(jnp.float32) - root.astype(jnp.float32)) * anis
+            dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=1))
+            idx = jnp.arange(L)
+            is_anchor = idx == (plen - 1)
+            keep = (dist > soma_radius) | is_anchor
+            keep = keep & (idx < plen)
+            path = jnp.where(keep[:, None], path, -1)
+
+        px, py, pz = path[:, 0], path[:, 1], path[:, 2]
+
+        # --- rolling-ball invalidation (reference trace.py:253-259)
+        radii = scale * dbf.at[px, py, pz].get(mode="fill", fill_value=0.0) + const
+        init = jnp.full(shape, INF, dtype=jnp.float32)
+        init = init.at[px, py, pz].min(-radii, mode="drop")
+        # expand over still-valid voxels plus the (possibly invalidated)
+        # sources themselves
+        ok_inv = valid.at[px, py, pz].set(True, mode="drop")
+        def invalidate(_):
+            ball_d = _relax_fixpoint(init, ok_inv, None, anisotropy,
+                                     clamp_positive=True)
+            ball = ball_d <= 0.0
+            n_inv = jnp.sum(ball & valid).astype(jnp.int32)
+            return valid & ~ball, valid_count - n_inv
+        valid, valid_count = jax.lax.cond(
+            valid_count > 0, invalidate, lambda _: (valid, valid_count), None
+        )
+
+        # --- new rails (reference trace.py:261-263)
+        if fix_branching:
+            pdrf = pdrf.at[px, py, pz].set(0.0, mode="drop")
+            d_rail = d_rail.at[px, py, pz].set(0.0, mode="drop")
+            d_rail = _relax_fixpoint(d_rail, fg, pdrf, anisotropy)
+
+        paths = paths.at[k].set(path)
+        lens = lens.at[k].set(plen)
+        return (k + 1, valid, valid_count, pdrf, d_rail, nb, na, paths, lens,
+                overflow)
+
+    state = (jnp.int32(0), valid, valid_count, pdrf, d_rail,
+             n_before.astype(jnp.int32), n_after.astype(jnp.int32),
+             paths0, lens0, jnp.bool_(False))
+    state = jax.lax.while_loop(cond, body, state)
+    (k, valid, valid_count, pdrf, d_rail, nb, na, paths, lens, overflow) = state
+
+    # work remaining because K was too small also counts as overflow
+    work_left = (valid_count > 0) | (nb > 0) | (na > 0)
+    overflow = overflow | (work_left & (k >= K) & (k < max_paths))
+    return paths, lens, k, overflow
+
+
+def fused_path_loop_fixed_parents(
+    fg, valid, dbf, daf, pdrf, root,
+    before_targets, n_before, after_targets, n_after,
+    scale, const, soma_radius, max_paths,
+    anisotropy, soma_mode, K: int, L: int,
+):
+    """fix_branching=False variant: one SSSP tree from the root, chased for
+    every target without rezeroing (reference trace.py:154-156,244)."""
+    return fused_path_loop(
+        fg, valid, dbf, daf, pdrf, root,
+        before_targets, n_before, after_targets, n_after,
+        scale, const, soma_radius, max_paths,
+        anisotropy=anisotropy, fix_branching=False, soma_mode=soma_mode,
+        K=K, L=L,
+    )

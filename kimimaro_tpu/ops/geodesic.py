@@ -274,6 +274,9 @@ def invalidation_ball(
     init = jnp.full(ok.shape, INF, dtype=jnp.float32)
     # multiple path vertices may map to the same voxel: keep the largest ball
     init = init.at[pv[:, 0], pv[:, 1], pv[:, 2]].min(-radii)
+    # sources expand even when they were invalidated by an earlier ball
+    # (the C++ seeds the heap before checking labels)
+    ok = ok.at[pv[:, 0], pv[:, 1], pv[:, 2]].set(True)
     dist = distance_field(ok, init, anisotropy, clamp_positive=True)
     return dist <= 0.0
 

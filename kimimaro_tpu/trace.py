@@ -244,7 +244,95 @@ def trace(
     return skel
 
 
+_FUSED_T_CAP = 32      # max manual targets handled by the device loop
+_FUSED_K_CAP = 256     # path-buffer rows before host fallback
+
+
 def _compute_paths(
+    root, fg, valid, dbf, daf, pdrf,
+    scale, const, anisotropy,
+    soma_mode, soma_radius, fix_branching,
+    manual_targets_before, manual_targets_after, max_paths,
+):
+    """Dispatch the TEASAR path loop: the fused on-device loop when the
+    manual-target count fits its static buffers, else the host loop."""
+    if (
+        len(manual_targets_before) <= _FUSED_T_CAP
+        and len(manual_targets_after) <= _FUSED_T_CAP
+    ):
+        paths = _compute_paths_device(
+            root, fg, valid, dbf, daf, pdrf,
+            scale, const, anisotropy,
+            soma_mode, soma_radius, fix_branching,
+            manual_targets_before, manual_targets_after, max_paths,
+        )
+        if paths is not None:
+            return paths
+    return _compute_paths_host(
+        root, fg, valid, dbf, daf, pdrf,
+        scale, const, anisotropy,
+        soma_mode, soma_radius, fix_branching,
+        list(manual_targets_before), list(manual_targets_after), max_paths,
+    )
+
+
+def _pad_targets(targets, cap):
+    arr = np.full((cap, 3), -1, dtype=np.int32)
+    for i, t in enumerate(targets):
+        arr[i] = t
+    return arr
+
+
+def _compute_paths_device(
+    root, fg, valid, dbf, daf, pdrf,
+    scale, const, anisotropy,
+    soma_mode, soma_radius, fix_branching,
+    manual_targets_before, manual_targets_after, max_paths,
+):
+    """One-dispatch path loop (ops.fused_trace). Returns None on buffer
+    overflow so the caller can fall back to the host loop."""
+    from .ops.fused_trace import fused_path_loop
+
+    valid_count = int(jnp.sum(valid))
+    if max_paths is None:
+        max_paths = max(valid_count, 1)
+    if len(manual_targets_before) + len(manual_targets_after) >= max_paths:
+        return []
+
+    shape = fg.shape
+    L = max(int(2 * (shape[0] + shape[1] + shape[2])), 64)
+    K = int(min(max(max_paths, 1), _FUSED_K_CAP))
+
+    paths_buf, lens, n_paths, overflow = fused_path_loop(
+        fg, valid, dbf, daf, pdrf,
+        jnp.asarray(root, dtype=jnp.int32),
+        jnp.asarray(_pad_targets(manual_targets_before, _FUSED_T_CAP)),
+        jnp.int32(len(manual_targets_before)),
+        jnp.asarray(_pad_targets(manual_targets_after, _FUSED_T_CAP)),
+        jnp.int32(len(manual_targets_after)),
+        jnp.float32(scale), jnp.float32(const), jnp.float32(soma_radius),
+        jnp.int32(min(max_paths, np.iinfo(np.int32).max)),
+        anisotropy=tuple(float(a) for a in anisotropy),
+        fix_branching=bool(fix_branching),
+        soma_mode=bool(soma_mode),
+        K=K, L=L,
+    )
+
+    if bool(overflow):
+        return None
+
+    n = int(n_paths)
+    paths_np = np.asarray(jax.device_get(paths_buf[:n]))
+    out = []
+    for i in range(n):
+        row = paths_np[i]
+        row = row[row[:, 0] >= 0]
+        # device rows run target->rail; reference paths run rail-first
+        out.append(row[::-1].astype(np.int64))
+    return out
+
+
+def _compute_paths_host(
     root, fg, valid, dbf, daf, pdrf,
     scale, const, anisotropy,
     soma_mode, soma_radius, fix_branching,
