@@ -107,7 +107,7 @@ def skeletonize(
 
     labels_dev = jnp.asarray(all_labels)
     cc_raw = connected_components(labels_dev)
-    cc_dev, n_comp = compact_cc(cc_raw)
+    cc_dev, n_comp, rep_prefix = compact_cc(cc_raw)
     del cc_raw
     n_components = int(n_comp)
     if n_components == 0:
@@ -115,7 +115,9 @@ def skeletonize(
 
     def fetch_info(cc_dev):
         n_max = 1 << max(int(np.ceil(np.log2(max(n_components, 2)))), 1)
-        counts, bbmin, bbmax, orig = label_info(cc_dev, labels_dev, n_max=n_max)
+        counts, bbmin, bbmax, orig = label_info(
+            cc_dev, labels_dev, n_max=n_max, rep_prefix=rep_prefix
+        )
         counts, bbmin, bbmax, orig = jax.device_get(
             (counts, bbmin, bbmax, orig)
         )

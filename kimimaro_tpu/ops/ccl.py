@@ -27,31 +27,68 @@ from .stencils import neighborhood_offsets, shifted
 OFFSETS26 = neighborhood_offsets(26)
 
 
+_BIGID = np.int32(2**31 - 1)
+
+
+def _plane_offsets_ccl(axis, direction):
+    return [o for o in OFFSETS26 if o[axis] == -direction]
+
+
 @jax.jit
 def _ccl_fixpoint(labels):
+    """Min-id propagation by directional plane sweeps (the same schedule as
+    the SSSP engine): a sweep along +x carries ids across the whole volume
+    along any x-monotone same-label path in one pass, so rounds scale with
+    the number of direction reversals of components, not their diameter.
+    One pointer-jump per round collapses id chains. No per-voxel gathers in
+    the sweeps — this is the TPU-friendly form of label-propagation CCL."""
     fg = labels != 0
     n = labels.size
     lin = jnp.arange(1, n + 1, dtype=jnp.int32).reshape(labels.shape)
-    ids0 = jnp.where(fg, lin, 0)
+    ids0 = jnp.where(fg, lin, _BIGID)
 
-    def stencil_min(ids):
-        best = ids
-        for off in OFFSETS26:
-            nb_ids = shifted(ids, off, 0)
-            nb_lab = shifted(labels, off, 0)
-            ok = fg & (nb_lab == labels) & (nb_ids > 0) & (nb_ids < best)
-            best = jnp.where(ok, nb_ids, best)
-        return best
+    def sweep(ids, axis, direction):
+        m = ids.shape[axis]
+        if m <= 1:
+            return ids
+        offs = _plane_offsets_ccl(axis, direction)
+        plane_shifts = [tuple(o[a] for a in range(3) if a != axis) for o in offs]
+
+        ii = jnp.moveaxis(ids, axis, 0)
+        ll = jnp.moveaxis(labels, axis, 0)
+        if direction < 0:
+            ii, ll = ii[::-1], ll[::-1]
+
+        def step(carry, x):
+            prev_i, prev_l = carry
+            cur_i, cur_l = x
+            best = cur_i
+            for po in plane_shifts:
+                nb_i = shifted(prev_i, po, _BIGID)
+                nb_l = shifted(prev_l, po, 0)
+                ok = (nb_l == cur_l) & (nb_i < best)
+                best = jnp.where(ok, nb_i, best)
+            return (best, cur_l), best
+
+        (_, _), rest = jax.lax.scan(step, (ii[0], ll[0]), (ii[1:], ll[1:]))
+        out = jnp.concatenate([ii[:1], rest], axis=0)
+        if direction < 0:
+            out = out[::-1]
+        return jnp.moveaxis(out, 0, axis)
 
     def jump(ids):
-        flat = ids.ravel()
+        flat = jnp.where(ids == _BIGID, 0, ids).ravel()
         hop = flat[jnp.maximum(flat - 1, 0)]
-        return jnp.where(flat > 0, hop, 0).reshape(ids.shape)
+        hop = jnp.where(flat > 0, hop, _BIGID).reshape(ids.shape)
+        return jnp.minimum(ids, hop)
 
     def body(state):
         ids, _, i = state
-        new = stencil_min(ids)
-        new = jump(jump(new))
+        new = ids
+        for axis in range(3):
+            for direction in (1, -1):
+                new = sweep(new, axis, direction)
+        new = jump(new)
         changed = jnp.any(new != ids)
         return new, changed, i + 1
 
@@ -60,7 +97,7 @@ def _ccl_fixpoint(labels):
         return jnp.logical_and(changed, i < 1024)
 
     ids, _, _ = jax.lax.while_loop(cond, body, (ids0, jnp.bool_(True), 0))
-    return ids
+    return jnp.where(fg, ids, 0)
 
 
 def connected_components(labels) -> jnp.ndarray:
@@ -95,38 +132,57 @@ def compact_cc(cc_raw):
     # every voxel's component id: look up the new id stored at its root
     cc = jnp.where(flat > 0, new_at_rep[jnp.maximum(flat - 1, 0)], 0)
     n_components = prefix[-1]
-    return cc.reshape(cc_raw.shape).astype(jnp.int32), n_components
+    return cc.reshape(cc_raw.shape).astype(jnp.int32), n_components, prefix
 
 
 @functools.partial(jax.jit, static_argnames=("n_max",))
-def label_info(cc, orig_labels, n_max: int):
+def label_info(cc, orig_labels, n_max: int, rep_prefix=None):
     """Per-component metadata on device: voxel counts, bounding boxes, and
     the original label of each component (the get_mapping equivalent,
     reference skeletontricks.pyx:490-525). One small fetch replaces a full
     volume readback.
+
+    Implemented scatter-light (TPU scatters are slow): three per-axis
+    presence histograms (bincounts) give both bboxes and counts; the
+    original-label mapping comes from a searchsorted over the (monotone)
+    representative prefix-sum from compact_cc — no scatter at all.
 
     Returns (counts (n_max+1,), bbox_min (n_max+1,3), bbox_max (n_max+1,3)
     inclusive, orig (n_max+1,)).
     """
     shape = cc.shape
     flat = cc.ravel().astype(jnp.int32)
-    counts = jnp.bincount(flat, length=n_max + 1)
 
-    gx = jax.lax.broadcasted_iota(jnp.int32, shape, 0).ravel()
-    gy = jax.lax.broadcasted_iota(jnp.int32, shape, 1).ravel()
-    gz = jax.lax.broadcasted_iota(jnp.int32, shape, 2).ravel()
+    bb_min = []
+    bb_max = []
+    counts = None
+    for axis in range(3):
+        na = shape[axis]
+        coord = jax.lax.broadcasted_iota(jnp.int32, shape, axis).ravel()
+        hist = jnp.bincount(flat * na + coord, length=(n_max + 1) * na)
+        hist = hist.reshape(n_max + 1, na)
+        present = hist > 0
+        mn = jnp.argmax(present, axis=1).astype(jnp.int32)
+        mx = (na - 1) - jnp.argmax(present[:, ::-1], axis=1).astype(jnp.int32)
+        any_present = jnp.any(present, axis=1)
+        bb_min.append(jnp.where(any_present, mn, np.iinfo(np.int32).max))
+        bb_max.append(jnp.where(any_present, mx, -1))
+        if counts is None:
+            counts = jnp.sum(hist, axis=1)
+    bbox_min = jnp.stack(bb_min, axis=1)
+    bbox_max = jnp.stack(bb_max, axis=1)
 
-    big = jnp.int32(np.iinfo(np.int32).max)
-    bbox_min = jnp.full((n_max + 1, 3), big, dtype=jnp.int32)
-    bbox_max = jnp.full((n_max + 1, 3), -1, dtype=jnp.int32)
-    for axis, g in enumerate((gx, gy, gz)):
-        bbox_min = bbox_min.at[flat, axis].min(g)
-        bbox_max = bbox_max.at[flat, axis].max(g)
-
-    # original label per component (labels must fit uint32; the intake
-    # layer falls back to a host mapping for wider dtypes)
-    orig = jnp.zeros((n_max + 1,), dtype=jnp.uint32)
-    orig = orig.at[flat].max(orig_labels.ravel().astype(jnp.uint32))
+    # original label per component via its representative voxel (labels
+    # must fit uint32; intake falls back to a host mapping for wider)
+    if rep_prefix is not None:
+        ids = jnp.arange(n_max + 1, dtype=jnp.int32)
+        rep_lin = jnp.searchsorted(rep_prefix, ids)
+        rep_lin = jnp.clip(rep_lin, 0, rep_prefix.shape[0] - 1)
+        orig = orig_labels.ravel()[rep_lin].astype(jnp.uint32)
+        orig = orig.at[0].set(0)
+    else:
+        orig = jnp.zeros((n_max + 1,), dtype=jnp.uint32)
+        orig = orig.at[flat].max(orig_labels.ravel().astype(jnp.uint32))
     return counts, bbox_min, bbox_max, orig
 
 
