@@ -110,29 +110,70 @@ def connected_components(labels) -> jnp.ndarray:
 
 
 @jax.jit
+def _rep_prefix(cc_raw):
+    flat = cc_raw.ravel()
+    lin = jnp.arange(1, flat.size + 1, dtype=flat.dtype)
+    repmask = flat == lin  # background (0) never matches
+    return jnp.cumsum(repmask.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_max",))
+def _compact_from_roots(cc_raw, prefix, n_max: int):
+    n = cc_raw.size
+    flat = cc_raw.ravel()
+    n_comp = prefix[-1]
+    ids = jnp.arange(1, n_max + 1, dtype=jnp.int32)
+    # representative linear index per component: prefix is monotone, so a
+    # binary search replaces any full-volume scatter/gather
+    rep_lin = jnp.clip(jnp.searchsorted(prefix, ids), 0, n - 1)
+    roots = jnp.where(
+        ids <= n_comp, (rep_lin + 1).astype(jnp.int32),
+        jnp.int32(n + 2) + ids,  # keep the table sorted past the end
+    )
+    # rank of each voxel's root value among all root values = compact id;
+    # computed as a fused broadcast-compare reduction (sum of roots <= v)
+    # — pure vector ops, no per-element gathers (TPU gathers are slow)
+    flat32 = flat.astype(jnp.int32)
+    CH = min(128, n_max)
+
+    def body(acc, chunk):
+        return acc + jnp.sum(
+            flat32[:, None] >= chunk[None, :], axis=1, dtype=jnp.int32
+        ), None
+
+    rank, _ = jax.lax.scan(
+        body,
+        jnp.zeros(flat32.shape, dtype=jnp.int32),
+        roots.reshape(n_max // CH, CH),
+    )
+    cc = jnp.where(flat > 0, rank, 0)
+    return cc.reshape(cc_raw.shape)
+
+
 def compact_cc(cc_raw):
     """Device-side compaction of raw CCL output to contiguous 1..N in
     first-appearance (scan) order — the fastremap.renumber convention — with
-    zero host transfers of the full volume.
+    zero full-volume host transfers.
 
     The raw id of a component equals 1 + the minimum linear index of its
-    voxels, so representatives are exactly the voxels where id == lin+1;
-    numbering them by prefix-sum over scan order reproduces the reference's
-    first-appearance numbering (utility.py:58-83).
+    voxels, so representatives are exactly the voxels where id == lin+1.
+    Rather than gathering a new id through a 10^8-entry table (random HBM
+    gathers are the slowest primitive on TPU), every voxel binary-searches
+    its root value in the sorted, cache-resident list of root values.
 
-    Returns (cc int32 compact, n_components, rep_lin (flat) int32 where
-    rep_lin[k-1] = linear index of component k's representative).
+    Returns (cc int32 compact, n_components int, rep_prefix (flat int32)).
     """
-    n = cc_raw.size
-    flat = cc_raw.ravel()
-    lin = jnp.arange(1, n + 1, dtype=flat.dtype)
-    repmask = flat == lin  # background (0) never matches
-    prefix = jnp.cumsum(repmask.astype(jnp.int32))
-    new_at_rep = jnp.where(repmask, prefix, 0)
-    # every voxel's component id: look up the new id stored at its root
-    cc = jnp.where(flat > 0, new_at_rep[jnp.maximum(flat - 1, 0)], 0)
-    n_components = prefix[-1]
-    return cc.reshape(cc_raw.shape).astype(jnp.int32), n_components, prefix
+    prefix = _rep_prefix(cc_raw)
+    n_components = int(prefix[-1])  # one scalar fetch
+    if n_components == 0:
+        return (
+            jnp.zeros(cc_raw.shape, dtype=jnp.int32),
+            0,
+            prefix,
+        )
+    n_max = 1 << max(int(np.ceil(np.log2(max(n_components, 2)))), 1)
+    cc = _compact_from_roots(cc_raw, prefix, n_max)
+    return cc, n_components, prefix
 
 
 @functools.partial(jax.jit, static_argnames=("n_max",))

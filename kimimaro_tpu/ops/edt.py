@@ -39,34 +39,34 @@ def _axis_to_last(vol, axis):
 
 @functools.partial(jax.jit, static_argnames=("w", "black_border"))
 def _axial_pass(labels, w: float, black_border: bool):
-    """Exact first-axis pass: squared distance along the LAST axis to the
+    """Exact first pass: squared distance along the FIRST axis to the
     nearest different-label voxel (O(n) run-boundary scans, not O(n^2)).
 
-    labels: (B, n). Within a run of equal labels [s, e], the nearest
-    different voxel is at s-1 or e+1; run bounds come from cumulative
-    max/min over label-change indices.
+    labels: (n, B), transformed axis first (lane-aligned shifts). Within a
+    run of equal labels [s, e], the nearest different voxel is at s-1 or
+    e+1; run bounds come from cumulative max over label-change indices.
     """
-    B, n = labels.shape
-    idx = jnp.arange(n, dtype=jnp.int32)
+    n, B = labels.shape
+    idx = jnp.arange(n, dtype=jnp.int32)[:, None]
 
     def run_starts(lab):
         change = jnp.concatenate(
-            [jnp.zeros((B, 1), dtype=bool), lab[:, 1:] != lab[:, :-1]], axis=1
+            [jnp.zeros((1, B), dtype=bool), lab[1:] != lab[:-1]], axis=0
         )
-        return jax.lax.cummax(jnp.where(change, idx[None, :], 0), axis=1)
+        return jax.lax.cummax(jnp.where(change, idx, 0), axis=0)
 
     # run [start, end] of equal labels containing each position
     start = run_starts(labels)
-    end = (n - 1) - run_starts(labels[:, ::-1])[:, ::-1]
+    end = (n - 1) - run_starts(labels[::-1])[::-1]
 
     has_left = start > 0
     has_right = end < n - 1
-    left = (idx[None, :] - start + 1).astype(jnp.float32)
-    right = (end - idx[None, :] + 1).astype(jnp.float32)
+    left = (idx - start + 1).astype(jnp.float32)
+    right = (end - idx + 1).astype(jnp.float32)
     if black_border:
-        left = jnp.where(has_left, left, idx[None, :].astype(jnp.float32) + 1.0)
+        left = jnp.where(has_left, left, idx.astype(jnp.float32) + 1.0)
         right = jnp.where(
-            has_right, right, jnp.float32(n) - idx[None, :].astype(jnp.float32)
+            has_right, right, jnp.float32(n) - idx.astype(jnp.float32)
         )
     else:
         left = jnp.where(has_left, left, BIG)
@@ -79,7 +79,7 @@ def _axial_pass(labels, w: float, black_border: bool):
 
 @functools.partial(jax.jit, static_argnames=("w", "black_border", "band"))
 def _parabola_pass_banded(d, labels, w: float, black_border: bool, band: int):
-    """Banded min-plus parabola pass along the LAST axis:
+    """Banded min-plus parabola pass along the FIRST axis:
 
         D_new[i] = min_{|o|<=band} ( g(i+o) + w^2 o^2 ),
         g(j) = D_old[j] if label[j]==label[i] else 0
@@ -88,25 +88,29 @@ def _parabola_pass_banded(d, labels, w: float, black_border: bool, band: int):
     winner would cost more than that); the caller escalates the band where
     the guarantee fails. O(n * band) work as a lax.scan of shifted fused
     vector ops — the XLA-friendly form of the Felzenszwalb envelope.
+
+    d, labels: (n, B) with the transformed axis FIRST so every shifted
+    slice moves along the major axis and stays lane-aligned (minor-axis
+    dynamic slices are slow on TPU).
     """
-    B, n = d.shape
+    n, B = d.shape
     w2 = np.float32(w) ** 2
     oob_g = np.float32(0.0) if black_border else BIG
 
-    # pad along the line so every shift is a static-size dynamic slice
-    d_p = jnp.pad(d, ((0, 0), (band, band)), constant_values=BIG)
-    l_p = jnp.pad(labels, ((0, 0), (band, band)), constant_values=0)
+    d_p = jnp.pad(d, ((band, band), (0, 0)), constant_values=BIG)
+    l_p = jnp.pad(labels, ((band, band), (0, 0)), constant_values=0)
     v_p = jnp.pad(
-        jnp.ones((B, n), dtype=bool), ((0, 0), (band, band)), constant_values=False
+        jnp.ones((n, 1), dtype=bool), ((band, band), (0, 0)),
+        constant_values=False,
     )
 
     def body(best, o):
         # o in [0, 2*band]; shift = o - band
-        d_s = jax.lax.dynamic_slice(d_p, (0, o), (B, n))
-        l_s = jax.lax.dynamic_slice(l_p, (0, o), (B, n))
-        v_s = jax.lax.dynamic_slice(v_p, (0, o), (B, n))
+        d_s = jax.lax.dynamic_slice(d_p, (o, 0), (n, B))
+        l_s = jax.lax.dynamic_slice(l_p, (o, 0), (n, B))
+        v_s = jax.lax.dynamic_slice(v_p, (o, 0), (n, 1))
         same = l_s == labels
-        g = jnp.where(v_s, jnp.where(same, d_s, 0.0), oob_g)
+        g = jnp.where(v_s & same, d_s, jnp.where(v_s, 0.0, oob_g))
         off = (o - band).astype(jnp.float32)
         cand = g + w2 * off * off
         return jnp.minimum(best, cand), None
@@ -200,15 +204,15 @@ def edtsq(
             if black_border:
                 d = jnp.minimum(d, np.float32(w) ** 2)
             continue
-        lab_t = _axis_to_last(labels, axis).reshape(-1, n)
+        lab_t = jnp.moveaxis(labels, axis, 0).reshape(n, -1)
         if first:
             out = _axial_pass(lab_t, w, bool(black_border))
             first = False
         else:
-            d_t = _axis_to_last(d, axis).reshape(-1, n)
+            d_t = jnp.moveaxis(d, axis, 0).reshape(n, -1)
             out = _banded_with_escalation(d_t, lab_t, w, bool(black_border), n)
-        out = out.reshape(_axis_to_last(d, axis).shape)
-        d = jnp.moveaxis(out, -1, axis)
+        out = out.reshape(jnp.moveaxis(d, axis, 0).shape)
+        d = jnp.moveaxis(out, 0, axis)
         # background distances are zeroed on return and are never read by
         # foreground lines (different label => g=0), so suppress them now:
         # this keeps the band-escalation check foreground-only.

@@ -1,0 +1,54 @@
+"""Out-of-core chunked protocol tests (reference README.md:389-409 /
+automated_test.py:281-333 joinability semantics, as a first-class API)."""
+
+import numpy as np
+
+import kimimaro_tpu
+from kimimaro_tpu.chunked import (
+    chunk_bounds,
+    merge_chunk_skeletons,
+    skeletonize_chunked,
+)
+
+
+def test_chunk_bounds_overlap():
+    bounds = chunk_bounds((64, 64, 20), (32, 32, 10))
+    assert len(bounds) == 2 * 2 * 2
+    # adjacent chunks share exactly one plane
+    lo0, hi0 = bounds[0]
+    assert hi0 == (33, 33, 11)
+    lo_last, hi_last = bounds[-1]
+    assert hi_last == (64, 64, 20)
+
+
+def test_chunked_matches_single_component():
+    # a tube crossing chunk boundaries must come out as ONE component
+    labels = np.zeros((64, 64, 20), dtype=np.uint8)
+    labels[12:52, 28:36, :] = 1
+
+    params = {"const": 10, "scale": 10, "pdrf_exponent": 4, "pdrf_scale": 100000}
+    skels = skeletonize_chunked(
+        labels, chunk_size=(32, 32, 10),
+        teasar_params=params, anisotropy=(1, 1, 1), dust_threshold=0,
+        fix_borders=True,
+    )
+    assert set(skels.keys()) == {1}
+    comps = skels[1].components()
+    assert len(comps) == 1
+
+    # whole-volume run also yields a single component of the same label
+    ref = kimimaro_tpu.skeletonize(
+        labels, teasar_params=params, anisotropy=(1, 1, 1),
+        dust_threshold=0, fix_borders=True,
+    )
+    assert len(ref[1].components()) == 1
+
+
+def test_merge_chunk_skeletons_postprocess():
+    from kimimaro_tpu.skeleton import Skeleton
+
+    a = Skeleton([(0, 0, 0), (1, 0, 0)], [(0, 1)], radii=[1, 1], segid=5)
+    b = Skeleton([(1, 0, 0), (2, 0, 0)], [(0, 1)], radii=[1, 1], segid=5)
+    merged = merge_chunk_skeletons([{5: a}, {5: b}])
+    assert len(merged[5].components()) == 1
+    assert merged[5].vertices.shape[0] == 3
