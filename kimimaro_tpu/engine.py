@@ -28,8 +28,8 @@ from .ops.geodesic import _sweep
 from .skeleton import Skeleton
 
 T_CAP = 16     # manual-target slots per lane (beyond -> host fallback)
-K_CAP = 192    # path rows per lane
-B_LANES = 32   # lanes per kernel call
+K_CAP = 64     # path rows per lane (overflow -> host fallback)
+B_LANES = 64   # lanes per kernel call
 
 
 # --------------------------------------------------------------------------- #
@@ -411,6 +411,7 @@ def trace_batched(
     teasar_params: dict,
     anisotropy: Sequence[float],
     fix_branching: bool,
+    progress: bool = False,
 ) -> Tuple[Dict[int, List[Tuple[np.ndarray, np.ndarray]]], List[dict]]:
     """Run per-label traces in device batches.
 
@@ -457,9 +458,59 @@ def trace_batched(
 
     results: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
 
+    # dispatch one batch ahead of each fetch so transfer latency overlaps
+    # with the next batch's device time (the tunnel's d2h roundtrip is the
+    # scarce resource)
+    pending = None
+
+    def drain(pending):
+        chunk, outs = pending
+        paths, lens, n_paths, overflow, radii = outs
+        header = np.asarray(jax.device_get(jnp.stack(
+            [n_paths.astype(jnp.int32),
+             overflow.astype(jnp.int32),
+             jnp.max(lens, axis=1).astype(jnp.int32)], axis=1
+        )))
+        max_n = int(header[:, 0].max()) if len(header) else 0
+        max_l = int(header[:, 2].max()) if len(header) else 0
+        if max_n > 0 and max_l > 0:
+            paths_np, radii_np = jax.device_get(
+                (paths[:, :max_n, :max_l], radii[:, :max_n, :max_l])
+            )
+        else:
+            paths_np = np.zeros((len(chunk), 0, 0, 3), np.int16)
+            radii_np = np.zeros((len(chunk), 0, 0), np.float32)
+
+        for j, job in enumerate(chunk):
+            if header[j, 1]:  # overflow -> host fallback
+                fallback.append(job)
+                continue
+            n = int(header[j, 0])
+            out = []
+            for kk in range(n):
+                row = paths_np[j, kk].astype(np.int64)
+                rad = radii_np[j, kk]
+                m = row[:, 0] >= 0
+                row, rad = row[m], rad[m]
+                # device rows run target->rail; reference rail-first
+                row, rad = row[::-1], rad[::-1]
+                # translate crop frame -> the job's bbox frame
+                row = row + (job["crop_off"] - np.asarray(job["offset"]))
+                out.append((row, rad))
+            results[job["segid"]] = out
+
+    from tqdm import tqdm
+
+    pbar = tqdm(
+        total=sum(len(g) for g in buckets.values()),
+        disable=(not progress), desc="Skeletonizing Labels",
+    )
+
     for bshape, group in sorted(buckets.items()):
         K = K_CAP
         L = max(int(2 * sum(bshape)), 64)
+        # group similar-cost labels together to limit vmap stragglers
+        group = sorted(group, key=lambda j: -int(np.prod(j["shape"])))
         for i in range(0, len(group), B_LANES):
             chunk = group[i: i + B_LANES]
             B = B_LANES
@@ -491,7 +542,7 @@ def trace_batched(
                 if max_paths is not None:
                     mp[j] = int(max_paths)
 
-            paths, lens, n_paths, overflow, radii = batched_trace_kernel(
+            outs = batched_trace_kernel(
                 cc_dev, dbf_dev,
                 jnp.asarray(lids), jnp.asarray(offs),
                 jnp.asarray(bef), jnp.asarray(nbef),
@@ -505,40 +556,15 @@ def trace_batched(
                 pdrf_exponent=pdrf_exponent, fix_branching=bool(fix_branching),
                 K=K, L=L,
             )
+            if pending is not None:
+                drain(pending)
+                pbar.update(len(pending[0]))
+            pending = (chunk, outs)
 
-            # fetch: small header first, then only the used path rows
-            header = np.asarray(jax.device_get(jnp.stack(
-                [n_paths.astype(jnp.int32),
-                 overflow.astype(jnp.int32),
-                 jnp.max(lens, axis=1).astype(jnp.int32)], axis=1
-            )))
-            max_n = int(header[:, 0].max()) if len(header) else 0
-            max_l = int(header[:, 2].max()) if len(header) else 0
-            if max_n > 0 and max_l > 0:
-                paths_np, radii_np = jax.device_get(
-                    (paths[:, :max_n, :max_l], radii[:, :max_n, :max_l])
-                )
-            else:
-                paths_np = np.zeros((B, 0, 0, 3), np.int16)
-                radii_np = np.zeros((B, 0, 0), np.float32)
-
-            for j, job in enumerate(chunk):
-                if header[j, 1]:  # overflow -> host fallback
-                    fallback.append(job)
-                    continue
-                n = int(header[j, 0])
-                out = []
-                for kk in range(n):
-                    row = paths_np[j, kk].astype(np.int64)
-                    rad = radii_np[j, kk]
-                    m = row[:, 0] >= 0
-                    row, rad = row[m], rad[m]
-                    # device rows run target->rail; reference rail-first
-                    row, rad = row[::-1], rad[::-1]
-                    # translate crop frame -> the job's bbox frame
-                    row = row + (job["crop_off"] - np.asarray(job["offset"]))
-                    out.append((row, rad))
-                results[job["segid"]] = out
+    if pending is not None:
+        drain(pending)
+        pbar.update(len(pending[0]))
+    pbar.close()
 
     return results, fallback
 

@@ -105,11 +105,14 @@ def skeletonize(
     # the full volumes never round-trip to the host on the fast path
     from .ops.ccl import compact_cc, connected_components, label_info
 
-    labels_dev = jnp.asarray(all_labels)
-    cc_raw = connected_components(labels_dev)
-    cc_dev, n_comp, rep_prefix = compact_cc(cc_raw)
-    del cc_raw
-    n_components = int(n_comp)
+    from .utils.profiling import phase
+
+    with phase("ccl"):
+        labels_dev = jnp.asarray(all_labels)
+        cc_raw = connected_components(labels_dev)
+        cc_dev, n_comp, rep_prefix = compact_cc(cc_raw)
+        del cc_raw
+        n_components = int(n_comp)
     if n_components == 0:
         return {}
 
@@ -179,9 +182,12 @@ def skeletonize(
         ]
         n_components = int(max(counts_map)) if counts_map else 0
     else:
-        counts, bbmin, bbmax, orig = fetch_info(cc_dev)
+        with phase("label_info"):
+            counts, bbmin, bbmax, orig = fetch_info(cc_dev)
         remapping = {i: int(orig[i]) for i in range(1, n_components + 1)}
-        dbf_dev = edtfn_dev(cc_dev)
+        with phase("edt"):
+            dbf_dev = edtfn_dev(cc_dev)
+            dbf_dev.block_until_ready()
         counts_map = {i: int(counts[i]) for i in range(1, n_components + 1)}
         bb = {
             i: (bbmin[i], bbmax[i])
@@ -201,7 +207,8 @@ def skeletonize(
 
     border_targets = defaultdict(list)
     if fix_borders:
-        border_targets = compute_border_targets(cc_dev, anisotropy)
+        with phase("border_targets"):
+            border_targets = compute_border_targets(cc_dev, anisotropy)
 
     print_quotes(parallel)  # easter egg (reference intake.py:796-803)
 
@@ -238,22 +245,28 @@ def skeletonize(
             "root": root,
         })
 
-    results, fallback_jobs = engine.trace_batched(
-        cc_dev, dbf_dev, jobs, teasar_params, anisotropy, fix_branching
-    )
+    with phase("trace_batched"):
+        results, fallback_jobs = engine.trace_batched(
+            cc_dev, dbf_dev, jobs, teasar_params, anisotropy, fix_branching,
+            progress=progress,
+        )
 
-    skeletons = defaultdict(list)
-    for segid, path_list in results.items():
-        skel = engine.paths_to_skeleton(path_list, anisotropy)
-        if skel.empty():
-            continue
-        mn = next(j["offset"] for j in jobs if j["segid"] == segid)
-        skel.vertices += mn.astype(np.float32)
-        orig_segid = remapping[segid]
-        skel.id = orig_segid
-        skel.vertices = np.multiply(skel.vertices, anisotropy, dtype=np.float32)
-        skel.space = "physical"
-        skeletons[orig_segid].append(skel)
+    offsets_by_segid = {j["segid"]: j["offset"] for j in jobs}
+    with phase("finalize"):
+        skeletons = defaultdict(list)
+        for segid, path_list in results.items():
+            skel = engine.paths_to_skeleton(path_list, anisotropy)
+            if skel.empty():
+                continue
+            mn = offsets_by_segid[segid]
+            skel.vertices += mn.astype(np.float32)
+            orig_segid = remapping[segid]
+            skel.id = orig_segid
+            skel.vertices = np.multiply(
+                skel.vertices, anisotropy, dtype=np.float32
+            )
+            skel.space = "physical"
+            skeletons[orig_segid].append(skel)
 
     # host fallback for jobs exceeding the device buffers
     for job in fallback_jobs:
@@ -445,27 +458,31 @@ def merge(skeletons: Dict[int, List[Skeleton]]) -> Dict[int, Skeleton]:
 
 def _compute_centroids(cc_plane: np.ndarray, wx: float, wy: float) -> Dict[int, tuple]:
     """Per-label centroid on a 2D plane, rounded toward the plane center so
-    every coordinate frame picks the same pixel (reference pyx:573-586)."""
-    wx, wy = np.float32(wx), np.float32(wy)
+    every coordinate frame picks the same pixel (reference pyx:573-586).
+    Vectorized over labels (single bincount pass)."""
+    wx32, wy32 = np.float32(wx), np.float32(wy)
     sx, sy = cc_plane.shape
-    labels = np.unique(cc_plane)
-    labels = labels[labels != 0]
-    cx = np.float32(wx * sx / 2)
-    cy = np.float32(wy * sy / 2)
+    cx = np.float32(wx32 * sx / 2)
+    cy = np.float32(wy32 * sy / 2)
 
-    out = {}
     xs, ys = np.nonzero(cc_plane)
-    vals = cc_plane[xs, ys]
-    for label in labels:
-        m = vals == label
-        px = np.float32(wx) * np.float32(xs[m].sum(dtype=np.float64)) / np.float32(m.sum())
-        py = np.float32(wy) * np.float32(ys[m].sum(dtype=np.float64)) / np.float32(m.sum())
-        if px - cx < 0:
-            px = np.float32(px + wx)
-        if py - cy < 0:
-            py = np.float32(py + wy)
-        out[int(label)] = (float(px / wx), float(py / wy))
-    return out
+    vals = cc_plane[xs, ys].astype(np.int64)
+    if len(vals) == 0:
+        return {}
+    nl = int(vals.max()) + 1
+    cnt = np.bincount(vals, minlength=nl).astype(np.float32)
+    sx_sum = np.bincount(vals, weights=xs, minlength=nl)
+    sy_sum = np.bincount(vals, weights=ys, minlength=nl)
+
+    present = np.flatnonzero(cnt > 0)
+    px = (wx32 * sx_sum[present].astype(np.float32) / cnt[present]).astype(np.float32)
+    py = (wy32 * sy_sum[present].astype(np.float32) / cnt[present]).astype(np.float32)
+    px = np.where(px - cx < 0, (px + wx32).astype(np.float32), px)
+    py = np.where(py - cy < 0, (py + wy32).astype(np.float32), py)
+    return {
+        int(l): (float(a / wx32), float(b / wy32))
+        for l, a, b in zip(present, px, py)
+    }
 
 
 def _distsq(p, q, wx, wy):
@@ -478,43 +495,59 @@ def find_border_targets(dt_plane: np.ndarray, cc_plane: np.ndarray, wx: float, w
     """Per 2D label: the max-EDT point, with the reference's 5-stage
     coordinate-frame-free tiebreak (closest to label centroid, then plane
     centroid, then corner, then edge, then first in y-major scan order;
-    reference pyx:591-715). Bit-deterministic across chunk frames."""
+    reference pyx:591-715). Bit-deterministic across chunk frames.
+    Vectorized: one grouped lexsort over all max-EDT candidates."""
     sx, sy = dt_plane.shape
-    labels = np.unique(cc_plane)
-    labels = labels[labels != 0]
     centroids = _compute_centroids(cc_plane, wx, wy)
     cx, cy = np.float32(wx * sx / 2.0), np.float32(wy * sy / 2.0)
 
-    pts = {}
-    for label in labels:
-        m = (cc_plane == label) & (dt_plane > 0)
-        if not m.any():
-            continue
-        mx = dt_plane[m].max()
-        cand = np.argwhere((dt_plane == mx) & m).astype(np.float32)  # (k, 2) x,y
-        centx, centy = centroids[int(label)]
-        # centroid coords are in truncated-integer pixel units * (wx, wy)
-        centx, centy = int(centx) * 1.0, int(centy) * 1.0
+    flat_cc = cc_plane.ravel().astype(np.int64)
+    flat_dt = dt_plane.ravel()
+    fgm = (flat_cc > 0) & (flat_dt > 0)
+    if not fgm.any():
+        return {}
+    nl = int(flat_cc[fgm].max()) + 1
+    mx = np.zeros(nl, dtype=flat_dt.dtype)
+    np.maximum.at(mx, flat_cc[fgm], flat_dt[fgm])
 
-        k1 = _distsq(cand, (centx, centy), wx, wy)
-        # NB: the reference compares against (wx*sx/2, wy*sy/2) expressed in
-        # pixel units (pyx:694-696) — replicated verbatim for bit parity.
-        k2 = _distsq(cand, (cx, cy), wx, wy)
-        corners = [(-0.5, -0.5), (sx - 0.5, -0.5), (sx - 0.5, sy - 0.5), (-0.5, sx - 0.5)]
-        k3 = np.min(np.stack([_distsq(cand, c, wx, wy) for c in corners]), axis=0)
-        k4 = np.minimum.reduce(
-            [
-                wx * (cand[:, 0] - 0.5),
-                wx * (sx - 0.5 - cand[:, 0]),
-                wy * (cand[:, 1] - 0.5),
-                wy * (sy - 0.5 - cand[:, 1]),
-            ]
-        )
-        scan = cand[:, 1] * sx + cand[:, 0]  # y-major scan order (pyx:628-630)
-        order = np.lexsort((scan, k4, k3, k2, k1))
-        best = cand[order[0]]
-        pts[int(label)] = (int(best[0]), int(best[1]))
-    return pts
+    cand_mask = fgm & (flat_dt == mx[flat_cc])
+    idxs = np.flatnonzero(cand_mask)
+    labs = flat_cc[idxs]
+    xs = (idxs // sy).astype(np.float32)
+    ys = (idxs % sy).astype(np.float32)
+
+    centx = np.zeros(nl, dtype=np.float32)
+    centy = np.zeros(nl, dtype=np.float32)
+    for l, (a, b) in centroids.items():
+        centx[l], centy[l] = float(int(a)), float(int(b))
+
+    cand = np.stack([xs, ys], axis=1)
+    dx = wx * (xs - centx[labs])
+    dy = wy * (ys - centy[labs])
+    k1 = dx * dx + dy * dy
+    # NB: the reference compares against (wx*sx/2, wy*sy/2) expressed in
+    # pixel units (pyx:694-696) — replicated verbatim for bit parity.
+    k2 = _distsq(cand, (cx, cy), wx, wy)
+    corners = [(-0.5, -0.5), (sx - 0.5, -0.5), (sx - 0.5, sy - 0.5), (-0.5, sx - 0.5)]
+    k3 = np.min(np.stack([_distsq(cand, c, wx, wy) for c in corners]), axis=0)
+    k4 = np.minimum.reduce(
+        [
+            wx * (xs - 0.5),
+            wx * (sx - 0.5 - xs),
+            wy * (ys - 0.5),
+            wy * (sy - 0.5 - ys),
+        ]
+    )
+    scan = ys * sx + xs  # y-major scan order (pyx:628-630)
+
+    order = np.lexsort((scan, k4, k3, k2, k1, labs))
+    labs_sorted = labs[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = labs_sorted[1:] != labs_sorted[:-1]
+    winners = order[first]
+    return {
+        int(labs[w]): (int(xs[w]), int(ys[w])) for w in winners
+    }
 
 
 def compute_border_targets(cc_labels: np.ndarray, anisotropy) -> Dict[int, np.ndarray]:
@@ -580,7 +613,9 @@ def fill_all_holes(cc_labels: np.ndarray, progress: bool = False,
     all_slices = find_objects(cc_labels)
     pixels_filled = 0
 
-    for label in labels:
+    from tqdm import tqdm
+
+    for label in tqdm(labels, disable=(not progress), desc="Filling Holes"):
         label = int(label)
         if label not in labels_set:
             continue
@@ -671,7 +706,10 @@ def engage_avocado_protection(
     cc_labels = np.copy(cc_labels)
     unchanged = set()
 
-    for _ in range(20):  # nested-avocado cap (reference intake.py:610-614)
+    from tqdm import trange
+
+    for _ in trange(20, disable=(not progress), desc="Avocado Pass"):
+        # nested-avocado cap (reference intake.py:610-614)
         candidates = set(
             int(u) for u in np.unique(
                 cc_labels * (all_dbf > soma_detection_threshold / 2.5)

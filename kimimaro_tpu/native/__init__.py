@@ -1,0 +1,98 @@
+"""ctypes loader for the native host graph kernels (hostops.cpp).
+
+Builds lazily with g++ when the shared object is missing; callers fall
+back to the pure-python implementations in kimimaro_tpu.post if neither
+works.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "_hostops.so")
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR, "-s"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    lib.kt_find_cycle.restype = ctypes.c_long
+    lib.kt_find_cycle.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+    ]
+    lib.kt_distance_graph.restype = ctypes.c_long
+    lib.kt_distance_graph.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_long,
+    ]
+    _lib = lib
+    return _lib
+
+
+def find_cycle(edges: np.ndarray) -> Optional[np.ndarray]:
+    """Native cycle finder; None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    edges = np.ascontiguousarray(edges, dtype=np.int32).reshape(-1, 2)
+    m = edges.shape[0]
+    cap = 2 * m + 3
+    out = np.zeros(cap, dtype=np.int32)
+    n = lib.kt_find_cycle(
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), m,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def create_distance_graph(vertices: np.ndarray, edges: np.ndarray):
+    """Native distance supergraph; None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    vertices = np.ascontiguousarray(vertices, dtype=np.float32).reshape(-1, 3)
+    edges = np.ascontiguousarray(edges, dtype=np.int32).reshape(-1, 2)
+    m = edges.shape[0]
+    cap = 2 * m + 8
+    uv = np.zeros(2 * cap, dtype=np.int64)
+    d = np.zeros(cap, dtype=np.float64)
+    n = lib.kt_distance_graph(
+        vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        vertices.shape[0],
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), m,
+        uv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cap,
+    )
+    if n < 0:
+        return None
+    return {
+        (int(uv[2 * i]), int(uv[2 * i + 1])): float(d[i]) for i in range(n)
+    }

@@ -1,0 +1,159 @@
+/* Native host-side graph kernels.
+ *
+ * The reference implements its host graph work (cycle detection, the
+ * critical-point distance supergraph) in C++ (skeletontricks.hpp:209-394).
+ * These are the kimimaro_tpu equivalents, exposed as a plain C ABI for
+ * ctypes (no pybind11 in this environment). kimimaro_tpu.post loads them
+ * when the shared object is present and falls back to pure python
+ * otherwise — results are identical.
+ *
+ * Build: make -C kimimaro_tpu/native   (or the lazy build in post.py)
+ */
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+#include <cmath>
+
+namespace {
+
+struct Adjacency {
+  std::unordered_map<int64_t, std::vector<int64_t>> adj;
+
+  explicit Adjacency(const int32_t* edges, long m) {
+    adj.reserve(static_cast<size_t>(m) * 2);
+    for (long i = 0; i < m; i++) {
+      int64_t a = edges[2 * i];
+      int64_t b = edges[2 * i + 1];
+      adj[a].push_back(b);
+      adj[b].push_back(a);
+    }
+    // deterministic traversal order
+    for (auto& kv : adj) {
+      std::sort(kv.second.begin(), kv.second.end());
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+/* Find one cycle via iterative DFS from edges[0]. Writes the closed walk
+ * [a, x1, ..., a] into out (capacity cap); returns its length, 0 when the
+ * graph is acyclic, -1 on overflow. Mirrors kimimaro_tpu.post.find_cycle. */
+long kt_find_cycle(const int32_t* edges, long m, int32_t* out, long cap) {
+  if (m == 0) return 0;
+  Adjacency g(edges, m);
+
+  int64_t root = edges[0];
+  std::vector<int64_t> stack{root};
+  std::vector<int64_t> parents{-1};
+  std::vector<long> depths{0};
+  std::vector<int64_t> path;
+  std::unordered_set<int64_t> visited;
+
+  int64_t node = -1;
+  bool found = false;
+
+  while (!stack.empty()) {
+    node = stack.back(); stack.pop_back();
+    int64_t parent = parents.back(); parents.pop_back();
+    long depth = depths.back(); depths.pop_back();
+
+    while (static_cast<long>(path.size()) > depth) path.pop_back();
+    path.push_back(node);
+
+    if (visited.count(node)) { found = true; break; }
+    visited.insert(node);
+
+    const auto& nbrs = g.adj[node];
+    for (int64_t child : nbrs) {
+      if (child == parent) continue;
+      stack.push_back(child);
+      parents.push_back(node);
+      depths.push_back(depth + 1);
+    }
+  }
+
+  if (!found || path.size() <= 1) return 0;
+
+  size_t i = 0;
+  for (; i + 1 < path.size(); i++) {
+    if (path[i] == node) break;
+  }
+  if (path.size() - i < 3) return 0;
+
+  long n = static_cast<long>(path.size() - i);
+  if (n > cap) return -1;
+  for (long k = 0; k < n; k++) out[k] = static_cast<int32_t>(path[i + k]);
+  return n;
+}
+
+/* Distance supergraph between critical points (terminals + branch points)
+ * of one connected component. Fills out_uv (pairs) and out_d (distances);
+ * returns the number of entries, -1 on overflow. Mirrors
+ * kimimaro_tpu.post.create_distance_graph. */
+long kt_distance_graph(const float* verts, long n_verts,
+                       const int32_t* edges, long m,
+                       int64_t* out_uv, double* out_d, long cap) {
+  if (m == 0) return 0;
+  Adjacency g(edges, m);
+
+  std::unordered_map<int64_t, long> degree;
+  for (long i = 0; i < m; i++) {
+    degree[edges[2 * i]]++;
+    degree[edges[2 * i + 1]]++;
+  }
+
+  std::unordered_set<int64_t> critical;
+  int64_t start = -1;
+  // deterministic first terminal: smallest node id with degree 1
+  for (const auto& kv : degree) {
+    if (kv.second == 1 || kv.second >= 3) critical.insert(kv.first);
+    if (kv.second == 1 && (start < 0 || kv.first < start)) start = kv.first;
+  }
+  if (start < 0) return 0;
+
+  struct Frame { int64_t node, parent, root; double dist; };
+  std::vector<Frame> stack{{start, -1, start, 0.0}};
+  long count = 0;
+  long steps = 0;
+  const long max_steps = 4 * m + 16;  // guards against cyclic inputs
+
+  auto vdist = [&](int64_t a, int64_t b) -> double {
+    double dx = verts[3 * a] - verts[3 * b];
+    double dy = verts[3 * a + 1] - verts[3 * b + 1];
+    double dz = verts[3 * a + 2] - verts[3 * b + 2];
+    return std::sqrt(dx * dx + dy * dy + dz * dz);
+  };
+
+  while (!stack.empty()) {
+    if (++steps > max_steps) return -1;
+    Frame f = stack.back(); stack.pop_back();
+
+    int64_t root = f.root;
+    double dist = f.dist;
+    if (critical.count(f.node) && f.node != f.root) {
+      if (count >= cap) return -1;
+      out_uv[2 * count] = f.root;
+      out_uv[2 * count + 1] = f.node;
+      out_d[count] = f.dist;
+      count++;
+      dist = 0.0;
+      root = f.node;
+    }
+
+    for (int64_t child : g.adj[f.node]) {
+      if (child == f.parent) continue;
+      stack.push_back({child, f.node, root,
+                       dist + vdist(f.node, child)});
+    }
+  }
+  return count;
+}
+
+}  // extern "C"

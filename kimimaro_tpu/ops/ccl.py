@@ -84,17 +84,21 @@ def _ccl_fixpoint(labels):
 
     def body(state):
         ids, _, i = state
+        # pointer jumping is a full-volume random gather — the slowest
+        # primitive on TPU — so each super-round runs 3 cheap sweep rounds
+        # before one jump
         new = ids
-        for axis in range(3):
-            for direction in (1, -1):
-                new = sweep(new, axis, direction)
+        for _ in range(3):
+            for axis in range(3):
+                for direction in (1, -1):
+                    new = sweep(new, axis, direction)
         new = jump(new)
         changed = jnp.any(new != ids)
         return new, changed, i + 1
 
     def cond(state):
         _, changed, i = state
-        return jnp.logical_and(changed, i < 1024)
+        return jnp.logical_and(changed, i < 512)
 
     ids, _, _ = jax.lax.while_loop(cond, body, (ids0, jnp.bool_(True), 0))
     return jnp.where(fg, ids, 0)

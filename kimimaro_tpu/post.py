@@ -165,10 +165,20 @@ def find_cycle(edges: np.ndarray) -> np.ndarray:
 
     Returns a closed walk [a, x1, ..., a] as int32, or an empty array if the
     graph is acyclic. Deterministic: adjacency explored in sorted order.
+    Uses the native C++ kernel (kimimaro_tpu.native) when available.
     """
     edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     if edges.shape[0] == 0:
         return np.zeros((0,), dtype=np.int32)
+
+    try:
+        from . import native
+
+        out = native.find_cycle(edges)
+        if out is not None:
+            return out
+    except Exception:
+        pass
 
     index = defaultdict(set)
     for e1, e2 in edges:
@@ -321,9 +331,19 @@ def _remove_loops(skeleton: Skeleton) -> Skeleton:
 def create_distance_graph(skeleton: Skeleton) -> Dict[Tuple[int, int], float]:
     """Distance "supergraph" between critical points (terminals + branch
     points) of a single connected component (reference post.py:364-434 /
-    skeletontricks.hpp:303-394)."""
+    skeletontricks.hpp:303-394). Uses the native C++ kernel when
+    available."""
     vertices = skeleton.vertices
     edges = skeleton.edges
+
+    try:
+        from . import native
+
+        out = native.create_distance_graph(vertices, edges)
+        if out is not None:
+            return out
+    except Exception:
+        pass
 
     unique_nodes, unique_counts = np.unique(edges, return_counts=True)
     terminal_nodes = unique_nodes[unique_counts == 1]
@@ -346,8 +366,13 @@ def create_distance_graph(skeleton: Skeleton) -> Dict[Tuple[int, int], float]:
     dist_stack = [0.0]
     root_stack = [start]
     distgraph: Dict[Tuple[int, int], float] = defaultdict(float)
+    max_steps = 4 * edges.shape[0] + 16  # guards against cyclic inputs
+    steps = 0
 
     while stack:
+        steps += 1
+        if steps > max_steps:
+            raise ValueError("create_distance_graph: graph contains a cycle")
         node = stack.pop()
         dist = dist_stack.pop()
         root = root_stack.pop()
