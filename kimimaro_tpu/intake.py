@@ -107,8 +107,16 @@ def skeletonize(
 
     from .utils.profiling import phase
 
+    # shrink the host->device transfer: label VALUES only need to survive
+    # the original-label lookup, so ship the narrowest dtype that holds them
+    upload = all_labels
+    if upload.dtype.itemsize > 2 and maxlabel < 2**16:
+        upload = upload.astype(np.uint16)
+    elif upload.dtype.itemsize > 4:
+        upload = upload.astype(np.uint32)
+
     with phase("ccl"):
-        labels_dev = jnp.asarray(all_labels)
+        labels_dev = jnp.asarray(upload)
         cc_raw = connected_components(labels_dev)
         cc_dev, n_comp, rep_prefix = compact_cc(cc_raw)
         del cc_raw

@@ -82,25 +82,41 @@ def _ccl_fixpoint(labels):
         hop = jnp.where(flat > 0, hop, _BIGID).reshape(ids.shape)
         return jnp.minimum(ids, hop)
 
-    def body(state):
-        ids, _, i = state
-        # pointer jumping is a full-volume random gather — the slowest
-        # primitive on TPU — so each super-round runs 3 cheap sweep rounds
-        # before one jump
-        new = ids
-        for _ in range(3):
-            for axis in range(3):
-                for direction in (1, -1):
-                    new = sweep(new, axis, direction)
-        new = jump(new)
-        changed = jnp.any(new != ids)
-        return new, changed, i + 1
+    def sweep_round(ids):
+        for axis in range(3):
+            for direction in (1, -1):
+                ids = sweep(ids, axis, direction)
+        return ids
 
-    def cond(state):
+    # phase 1: pure sweep rounds — no gathers at all. Most volumes
+    # converge here (rounds = number of direction reversals of components).
+    def body1(state):
+        ids, _, i = state
+        new = sweep_round(ids)
+        return new, jnp.any(new != ids), i + 1
+
+    def cond1(state):
+        _, changed, i = state
+        return jnp.logical_and(changed, i < 6)
+
+    ids, changed, _ = jax.lax.while_loop(
+        cond1, body1, (ids0, jnp.bool_(True), 0)
+    )
+
+    # phase 2: long winding components still unconverged — accelerate with
+    # pointer jumping (a full-volume random gather, the slowest primitive
+    # on TPU, so it only runs when sweeps alone stall)
+    def body2(state):
+        ids, _, i = state
+        new = sweep_round(sweep_round(ids))
+        new = jump(new)
+        return new, jnp.any(new != ids), i + 1
+
+    def cond2(state):
         _, changed, i = state
         return jnp.logical_and(changed, i < 512)
 
-    ids, _, _ = jax.lax.while_loop(cond, body, (ids0, jnp.bool_(True), 0))
+    ids, _, _ = jax.lax.while_loop(cond2, body2, (ids, changed, 0))
     return jnp.where(fg, ids, 0)
 
 

@@ -1,0 +1,137 @@
+"""Pallas TPU kernel for the directional distance sweep.
+
+The framework's hottest primitive is the directional plane sweep
+(ops.geodesic._sweep): plane i is relaxed from plane i-1 through the nine
+(dx=-1, dy, dz) offsets. The lax.scan form emits one tiny XLA op per plane
+(n sequential dispatch steps dominated by fixed overhead at crop sizes).
+This kernel fuses an entire sweep into ONE Pallas launch: the grid walks
+planes sequentially (TPU grid order is sequential per core), carrying the
+previous relaxed plane in VMEM scratch, so each step is a handful of
+VPU-resident vector ops with no per-step XLA overhead.
+
+Layout: (n, H, W) with the swept axis FIRST; callers moveaxis/flip so only
+the +axis0 sweep is needed. Cost semantics match ops.geodesic._sweep:
+  node mode:      new = min(cur, min_9(prev_shifted) + node_cost)
+  euclidean mode: new = min(cur, min_9(prev_shifted + step_cost))
+  clamp_positive: positives reset to +inf (invalidation balls)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = np.float32(np.inf)
+
+
+def _shift2d(p, dy, dz, fill):
+    """out[y, z] = p[y+dy, z+dz], edges filled."""
+    if dy == 0 and dz == 0:
+        return p
+    H, W = p.shape
+    out = p
+    if dy != 0:
+        pad = jnp.full((1, W), fill, dtype=p.dtype)
+        if dy > 0:
+            out = jnp.concatenate([out[dy:], pad], axis=0)
+        else:
+            out = jnp.concatenate([pad, out[:-1]], axis=0)
+    if dz != 0:
+        pad = jnp.full((H, 1), fill, dtype=out.dtype)
+        if dz > 0:
+            out = jnp.concatenate([out[:, dz:], pad], axis=1)
+        else:
+            out = jnp.concatenate([pad, out[:, :-1]], axis=1)
+    return out
+
+
+def _sweep_kernel_factory(costs9, node_mode: bool, clamp_positive: bool):
+    """costs9: list of ((dy, dz), step_cost) for the 9 reaching offsets."""
+
+    def kernel(d_ref, ok_ref, nc_ref, out_ref, prev_ref):
+        i = pl.program_id(0)
+
+        cur = d_ref[0]
+        okc = ok_ref[0]
+        ncc = nc_ref[0]
+
+        def relax(prev):
+            cand = jnp.full_like(cur, INF)
+            for (dy, dz), c in costs9:
+                s = _shift2d(prev, dy, dz, INF)
+                if node_mode:
+                    cand = jnp.minimum(cand, s)
+                else:
+                    cand = jnp.minimum(cand, s + c)
+            if node_mode:
+                cand = cand + ncc
+            new = jnp.where(okc, jnp.minimum(cur, cand), INF)
+            if clamp_positive:
+                new = jnp.where(new > 0.0, INF, new)
+            return new
+
+        # plane 0 passes through unchanged (the scan's init carry in
+        # ops.geodesic._sweep)
+        new = jax.lax.cond(i == 0, lambda: cur, lambda: relax(prev_ref[...]))
+
+        out_ref[0] = new
+        prev_ref[...] = new
+
+    return kernel
+
+
+INTERPRET = False  # set True for CPU-backed equivalence tests
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("anisotropy", "node_mode", "clamp_positive"),
+)
+def sweep_axis0(
+    d,
+    ok,
+    node_cost,
+    anisotropy: Tuple[float, float, float],
+    node_mode: bool,
+    clamp_positive: bool,
+):
+    """One +axis0 directional sweep of a (n, H, W) volume as a single
+    Pallas launch."""
+    n, H, W = d.shape
+    w = np.asarray(anisotropy, dtype=np.float64)
+
+    costs9 = []
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            c = np.float32(np.sqrt((w[0]) ** 2 + (dy * w[1]) ** 2 + (dz * w[2]) ** 2))
+            costs9.append(((dy, dz), c))
+
+    kernel = _sweep_kernel_factory(costs9, node_mode, clamp_positive)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, H, W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((H, W), jnp.float32)],
+        interpret=INTERPRET,
+    )(d, ok, node_cost)
+
+
+def available() -> bool:
+    """Pallas TPU sweeps need a TPU backend (or interpret mode)."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False

@@ -1,0 +1,44 @@
+"""Equivalence of the Pallas sweep kernel vs the XLA scan sweep
+(interpret mode on the CPU test backend)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kimimaro_tpu.ops import pallas_sweep
+from kimimaro_tpu.ops.geodesic import _sweep
+
+pallas_sweep.INTERPRET = True
+
+ANIS = (1.0, 2.0, 1.5)
+
+
+def _ref_sweep(d, ok, nc, node_mode, clamp):
+    return _sweep(d, ok, nc if node_mode else None, 0, 1, ANIS, clamp)
+
+
+@pytest.mark.parametrize("node_mode", (False, True))
+@pytest.mark.parametrize("clamp", (False, True))
+def test_sweep_axis0_matches(node_mode, clamp):
+    rng = np.random.RandomState(7)
+    shape = (6, 8, 8)
+    d = rng.uniform(-3, 10, size=shape).astype(np.float32)
+    d[rng.rand(*shape) < 0.3] = np.inf
+    ok = rng.rand(*shape) < 0.8
+    nc = rng.uniform(0, 2, size=shape).astype(np.float32)
+
+    d0 = jnp.where(jnp.asarray(ok), jnp.asarray(d), jnp.inf)
+
+    ref = np.asarray(
+        _ref_sweep(d0, jnp.asarray(ok), jnp.asarray(nc), node_mode, clamp)
+    )
+    got = np.asarray(
+        pallas_sweep.sweep_axis0(
+            d0, jnp.asarray(ok), jnp.asarray(nc),
+            ANIS, node_mode, clamp,
+        )
+    )
+    finite = np.isfinite(ref)
+    assert np.array_equal(finite, np.isfinite(got))
+    assert np.allclose(ref[finite], got[finite], rtol=1e-6, atol=1e-6)
