@@ -73,9 +73,15 @@ def synthetic_volume(n: int, mean_label_voxels: int = 63000, seed: int = 0):
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import kimimaro_tpu
 
-    n = int(os.environ.get("BENCH_N", "256"))
+    n = int(os.environ.get("BENCH_N", "512"))
 
     labels = load_connectomics()
     source = "connectomics.npy"
@@ -92,24 +98,23 @@ def main():
         "soma_acceptance_threshold": 3500,
     }
 
-    # warm-up on a small slice to amortize compilation out of the timing
-    warm = np.ascontiguousarray(labels[:64, :64, :64])
-    kimimaro_tpu.skeletonize(
-        warm, teasar_params=teasar_params, anisotropy=(16, 16, 40),
-        fix_borders=True, fix_branching=True, progress=False,
-    )
+    def run():
+        start = time.perf_counter()
+        skels = kimimaro_tpu.skeletonize(
+            labels,
+            teasar_params=teasar_params,
+            anisotropy=(16, 16, 40),
+            dust_threshold=1000,
+            fix_borders=True,
+            fix_branching=True,
+            progress=False,
+        )
+        return skels, time.perf_counter() - start
 
-    start = time.perf_counter()
-    skels = kimimaro_tpu.skeletonize(
-        labels,
-        teasar_params=teasar_params,
-        anisotropy=(16, 16, 40),
-        dust_threshold=1000,
-        fix_borders=True,
-        fix_branching=True,
-        progress=False,
-    )
-    elapsed = time.perf_counter() - start
+    # first run includes compilation (persisted to .jax_cache); the second
+    # measures steady-state throughput
+    run()
+    skels, elapsed = run()
 
     n_labels = len(skels)
     labels_per_sec = n_labels / elapsed if elapsed > 0 else 0.0

@@ -75,9 +75,6 @@ def skeletonize(
     space. `parallel`/`parallel_chunk_size` are accepted for API parity; the
     device executes each label's sweeps data-parallel already.
     """
-    if voxel_graph is not None:
-        raise NotImplementedError("voxel_graph is not supported on the TPU path yet")
-
     anisotropy = np.array(anisotropy, dtype=np.float32)
 
     all_labels = format_labels(all_labels, in_place=in_place)
@@ -115,9 +112,16 @@ def skeletonize(
     elif upload.dtype.itemsize > 4:
         upload = upload.astype(np.uint32)
 
+    vg_dev = None
+    if voxel_graph is not None:
+        vg_host = np.asarray(voxel_graph)
+        while vg_host.ndim < 3:
+            vg_host = vg_host[..., np.newaxis]
+        vg_dev = jnp.asarray(vg_host.astype(np.uint32))
+
     with phase("ccl"):
         labels_dev = jnp.asarray(upload)
-        cc_raw = connected_components(labels_dev)
+        cc_raw = connected_components(labels_dev, voxel_graph=vg_dev)
         cc_dev, n_comp, rep_prefix = compact_cc(cc_raw)
         del cc_raw
         n_components = int(n_comp)
@@ -144,6 +148,7 @@ def skeletonize(
             cc,
             anisotropy=tuple(float(a) for a in anisotropy),
             black_border=(minlabel == maxlabel),
+            voxel_graph=vg_dev,
         )
 
     host_stages = fill_holes or fix_avocados
@@ -253,11 +258,15 @@ def skeletonize(
             "root": root,
         })
 
-    with phase("trace_batched"):
-        results, fallback_jobs = engine.trace_batched(
-            cc_dev, dbf_dev, jobs, teasar_params, anisotropy, fix_branching,
-            progress=progress,
-        )
+    if vg_dev is None:
+        with phase("trace_batched"):
+            results, fallback_jobs = engine.trace_batched(
+                cc_dev, dbf_dev, jobs, teasar_params, anisotropy,
+                fix_branching, progress=progress,
+            )
+    else:
+        # self-touch masking runs through the host trace loop
+        results, fallback_jobs = {}, jobs
 
     offsets_by_segid = {j["segid"]: j["offset"] for j in jobs}
     with phase("finalize"):
@@ -286,6 +295,7 @@ def skeletonize(
         dbf_crop = np.where(
             labels_crop, np.asarray(jax.device_get(dbf_dev[slc])), 0.0
         ).astype(np.float32)
+        vg_crop = vg_dev[slc] if vg_dev is not None else None
         skeleton = trace_mod.trace(
             labels_crop, dbf_crop,
             anisotropy=tuple(float(a) for a in anisotropy),
@@ -293,6 +303,7 @@ def skeletonize(
             manual_targets_before=list(job["before"]),
             manual_targets_after=list(job["after"]),
             root=job["root"],
+            voxel_graph=vg_crop,
             **teasar_params,
         )
         if skeleton.empty():

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .stencils import neighborhood_offsets, shifted
+from .stencils import graph_allows, neighborhood_offsets, shifted
 
 OFFSETS26 = neighborhood_offsets(26)
 
@@ -34,14 +34,17 @@ def _plane_offsets_ccl(axis, direction):
     return [o for o in OFFSETS26 if o[axis] == -direction]
 
 
-@jax.jit
-def _ccl_fixpoint(labels):
+@functools.partial(jax.jit, static_argnames=("has_vg",))
+def _ccl_fixpoint(labels, voxel_graph, has_vg: bool = False):
     """Min-id propagation by directional plane sweeps (the same schedule as
     the SSSP engine): a sweep along +x carries ids across the whole volume
     along any x-monotone same-label path in one pass, so rounds scale with
     the number of direction reversals of components, not their diameter.
     One pointer-jump per round collapses id chains. No per-voxel gathers in
-    the sweeps — this is the TPU-friendly form of label-propagation CCL."""
+    the sweeps — this is the TPU-friendly form of label-propagation CCL.
+
+    voxel_graph (has_vg=True): cc3d-convention bitfield masking adjacency —
+    the color_connectivity_graph analogue for self-touching labels."""
     fg = labels != 0
     n = labels.size
     lin = jnp.arange(1, n + 1, dtype=jnp.int32).reshape(labels.shape)
@@ -52,25 +55,35 @@ def _ccl_fixpoint(labels):
         if m <= 1:
             return ids
         offs = _plane_offsets_ccl(axis, direction)
-        plane_shifts = [tuple(o[a] for a in range(3) if a != axis) for o in offs]
+        plane_shifts = [
+            (tuple(o[a] for a in range(3) if a != axis),
+             tuple(-c for c in o))
+            for o in offs
+        ]
 
         ii = jnp.moveaxis(ids, axis, 0)
         ll = jnp.moveaxis(labels, axis, 0)
+        vg = jnp.moveaxis(voxel_graph, axis, 0) if has_vg else None
         if direction < 0:
             ii, ll = ii[::-1], ll[::-1]
+            vg = vg[::-1] if has_vg else None
 
         def step(carry, x):
             prev_i, prev_l = carry
-            cur_i, cur_l = x
+            cur_i, cur_l = x[0], x[1]
+            vgp = x[2] if has_vg else None
             best = cur_i
-            for po in plane_shifts:
+            for po, neg_o in plane_shifts:
                 nb_i = shifted(prev_i, po, _BIGID)
                 nb_l = shifted(prev_l, po, 0)
                 ok = (nb_l == cur_l) & (nb_i < best)
+                if has_vg:
+                    ok = ok & shifted(graph_allows(vgp, neg_o), po, False)
                 best = jnp.where(ok, nb_i, best)
             return (best, cur_l), best
 
-        (_, _), rest = jax.lax.scan(step, (ii[0], ll[0]), (ii[1:], ll[1:]))
+        xs = (ii[1:], ll[1:], vg[:-1]) if has_vg else (ii[1:], ll[1:])
+        (_, _), rest = jax.lax.scan(step, (ii[0], ll[0]), xs)
         out = jnp.concatenate([ii[:1], rest], axis=0)
         if direction < 0:
             out = out[::-1]
@@ -120,13 +133,21 @@ def _ccl_fixpoint(labels):
     return jnp.where(fg, ids, 0)
 
 
-def connected_components(labels) -> jnp.ndarray:
+def connected_components(labels, voxel_graph=None) -> jnp.ndarray:
     """Raw 26-connected multi-label CCL. Returns an int32 volume where each
     component is labeled by the (1-based) minimum linear index of its voxels;
-    background is 0. Use `renumber_cc` to compact to 1..N."""
+    background is 0. Use `compact_cc` to renumber to 1..N.
+
+    voxel_graph: optional cc3d-convention connectivity bitfield (self-touch
+    walls; the color_connectivity_graph analogue)."""
     labels = jnp.asarray(labels)
     assert labels.ndim == 3
-    return _ccl_fixpoint(labels)
+    vg = (
+        jnp.zeros((1, 1, 1), dtype=jnp.uint32)
+        if voxel_graph is None
+        else jnp.asarray(voxel_graph).astype(jnp.uint32)
+    )
+    return _ccl_fixpoint(labels, vg, has_vg=voxel_graph is not None)
 
 
 @jax.jit

@@ -37,8 +37,9 @@ def _axis_to_last(vol, axis):
     return jnp.moveaxis(vol, axis, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "black_border"))
-def _axial_pass(labels, w: float, black_border: bool):
+@functools.partial(jax.jit, static_argnames=("w", "black_border", "has_wall"))
+def _axial_pass(labels, wall, w: float, black_border: bool,
+                has_wall: bool = False):
     """Exact first pass: squared distance along the FIRST axis to the
     nearest different-label voxel (O(n) run-boundary scans, not O(n^2)).
 
@@ -49,15 +50,21 @@ def _axial_pass(labels, w: float, black_border: bool):
     n, B = labels.shape
     idx = jnp.arange(n, dtype=jnp.int32)[:, None]
 
-    def run_starts(lab):
+    def run_starts(lab, wl):
         change = jnp.concatenate(
             [jnp.zeros((1, B), dtype=bool), lab[1:] != lab[:-1]], axis=0
         )
+        if has_wall:
+            # a blocked edge (wall increment) breaks the run like a label
+            # change (voxel_graph semantics)
+            change = change | jnp.concatenate(
+                [jnp.zeros((1, B), dtype=bool), wl[1:] != wl[:-1]], axis=0
+            )
         return jax.lax.cummax(jnp.where(change, idx, 0), axis=0)
 
     # run [start, end] of equal labels containing each position
-    start = run_starts(labels)
-    end = (n - 1) - run_starts(labels[::-1])[::-1]
+    start = run_starts(labels, wall)
+    end = (n - 1) - run_starts(labels[::-1], wall[::-1])[::-1]
 
     has_left = start > 0
     has_right = end < n - 1
@@ -77,8 +84,11 @@ def _axial_pass(labels, w: float, black_border: bool):
     return jnp.minimum((np.float32(w) * d) ** 2, BIG)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "black_border", "band"))
-def _parabola_pass_banded(d, labels, w: float, black_border: bool, band: int):
+@functools.partial(
+    jax.jit, static_argnames=("w", "black_border", "band", "has_wall")
+)
+def _parabola_pass_banded(d, labels, wall, w: float, black_border: bool,
+                          band: int, has_wall: bool = False):
     """Banded min-plus parabola pass along the FIRST axis:
 
         D_new[i] = min_{|o|<=band} ( g(i+o) + w^2 o^2 ),
@@ -103,6 +113,7 @@ def _parabola_pass_banded(d, labels, w: float, black_border: bool, band: int):
         jnp.ones((n, 1), dtype=bool), ((band, band), (0, 0)),
         constant_values=False,
     )
+    w_p = jnp.pad(wall, ((band, band), (0, 0)), constant_values=-1)
 
     def body(best, o):
         # o in [0, 2*band]; shift = o - band
@@ -110,6 +121,12 @@ def _parabola_pass_banded(d, labels, w: float, black_border: bool, band: int):
         l_s = jax.lax.dynamic_slice(l_p, (o, 0), (n, B))
         v_s = jax.lax.dynamic_slice(v_p, (o, 0), (n, 1))
         same = l_s == labels
+        if has_wall:
+            # positions in different wall segments are mutually invisible
+            # along this line (a blocked edge acts as a boundary at the
+            # wall position, like a label change)
+            ww_s = jax.lax.dynamic_slice(w_p, (o, 0), (n, B))
+            same = same & (ww_s == wall)
         g = jnp.where(v_s & same, d_s, jnp.where(v_s, 0.0, oob_g))
         off = (o - band).astype(jnp.float32)
         cand = g + w2 * off * off
@@ -157,13 +174,16 @@ def _parabola_pass(d, labels, w: float, black_border: bool, line_block: int = 12
     return out
 
 
-def _banded_with_escalation(d, labels, w: float, black_border: bool, n: int):
+def _banded_with_escalation(d, labels, wall, w: float, black_border: bool,
+                            n: int, has_wall: bool):
     """Run the banded parabola pass, doubling the band wherever the
     band-completeness guarantee (D <= (band*w)^2) fails. Each escalation
     recomputes from the same pass input, so the result is exact."""
     band = min(16, n - 1)
     while True:
-        out = _parabola_pass_banded(d, labels, w, black_border, band)
+        out = _parabola_pass_banded(
+            d, labels, wall, w, black_border, band, has_wall
+        )
         if band >= n - 1:
             return out
         thresh = (np.float32(w) * band) ** 2
@@ -172,10 +192,14 @@ def _banded_with_escalation(d, labels, w: float, black_border: bool, n: int):
         band = min(band * 4, n - 1)
 
 
+_AXIS_UNIT = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
+
+
 def edtsq(
     labels,
     anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
     black_border: bool = False,
+    voxel_graph=None,
 ) -> jnp.ndarray:
     """Squared multi-label anisotropic EDT. Returns float32, BIG where the
     distance is unbounded (single label, no black border).
@@ -184,14 +208,24 @@ def edtsq(
     (_axial_pass); later axes are banded min-plus parabola passes with
     automatic band escalation — O(n * band) instead of the O(n^2) brute
     envelope, with the band adapting to the thickest structure present.
+
+    voxel_graph: optional cc3d-convention bitfield; a blocked axis edge
+    acts as a label boundary in that axis pass (self-touch walls), tracked
+    exactly via per-line wall-segment cumsums.
     """
     labels = jnp.asarray(labels)
     squeeze_2d = labels.ndim == 2
     if squeeze_2d:
         labels = labels[..., None]
         anisotropy = tuple(anisotropy) + (1.0,)
+        if voxel_graph is not None:
+            voxel_graph = jnp.asarray(voxel_graph)[..., None]
     assert labels.ndim == 3, "edt expects a 2D or 3D volume"
     shape = labels.shape
+    has_vg = voxel_graph is not None
+    vg = jnp.asarray(voxel_graph).astype(jnp.uint32) if has_vg else None
+
+    from .stencils import graph_allows
 
     d = jnp.full(shape, BIG, dtype=jnp.float32)
     ndim_iter = 2 if squeeze_2d else 3  # 2D: borderless singleton z axis
@@ -205,12 +239,25 @@ def edtsq(
                 d = jnp.minimum(d, np.float32(w) ** 2)
             continue
         lab_t = jnp.moveaxis(labels, axis, 0).reshape(n, -1)
+        if has_vg:
+            # wall-segment index per line: increments at blocked +axis edges
+            allow = graph_allows(vg, _AXIS_UNIT[axis])
+            allow_t = jnp.moveaxis(allow, axis, 0).reshape(n, -1)
+            blocked = jnp.concatenate(
+                [jnp.zeros((1, lab_t.shape[1]), dtype=bool), ~allow_t[:-1]],
+                axis=0,
+            )
+            wall = jnp.cumsum(blocked.astype(jnp.int32), axis=0)
+        else:
+            wall = jnp.zeros((1, 1), dtype=jnp.int32)
         if first:
-            out = _axial_pass(lab_t, w, bool(black_border))
+            out = _axial_pass(lab_t, wall, w, bool(black_border), has_vg)
             first = False
         else:
             d_t = jnp.moveaxis(d, axis, 0).reshape(n, -1)
-            out = _banded_with_escalation(d_t, lab_t, w, bool(black_border), n)
+            out = _banded_with_escalation(
+                d_t, lab_t, wall, w, bool(black_border), n, has_vg
+            )
         out = out.reshape(jnp.moveaxis(d, axis, 0).shape)
         d = jnp.moveaxis(out, 0, axis)
         # background distances are zeroed on return and are never read by
@@ -231,11 +278,6 @@ def edt(
     """Multi-label anisotropic euclidean distance transform (physical units).
 
     Drop-in for the reference's `edt.edt(...)` call sites
-    (intake.py:178-183). `voxel_graph` is accepted for API parity; masking
-    connectivity during EDT is not yet supported on device.
+    (intake.py:178-183), including voxel_graph self-touch walls.
     """
-    if voxel_graph is not None:
-        raise NotImplementedError(
-            "voxel_graph-aware EDT is not yet supported on the TPU path"
-        )
-    return jnp.sqrt(edtsq(labels, anisotropy, black_border))
+    return jnp.sqrt(edtsq(labels, anisotropy, black_border, voxel_graph))

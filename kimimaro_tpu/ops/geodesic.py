@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .stencils import neighborhood_offsets, shifted
+from .stencils import graph_allows, neighborhood_offsets, shifted
 
 INF = np.float32(np.inf)
 
@@ -52,8 +52,14 @@ def _off_cost(off, anisotropy) -> np.float32:
     return np.float32(np.sqrt(np.sum((np.array(off, dtype=np.float64) * w) ** 2)))
 
 
-def _sweep(dist, ok, node_cost, axis, direction, anisotropy, clamp_positive):
-    """One directional plane sweep along `axis` in `direction` (+1/-1)."""
+def _sweep(dist, ok, node_cost, axis, direction, anisotropy, clamp_positive,
+           voxel_graph=None):
+    """One directional plane sweep along `axis` in `direction` (+1/-1).
+
+    voxel_graph (optional): cc3d-convention connectivity bitfield; a
+    candidate reaching v from u = v + o is admitted only when u permits
+    movement along -o (reference dijkstra_invalidation.hpp:150-191).
+    """
     n = dist.shape[axis]
     if n <= 1:
         return dist
@@ -63,26 +69,30 @@ def _sweep(dist, ok, node_cost, axis, direction, anisotropy, clamp_positive):
     plane_shifts = []
     for o in offs:
         po = tuple(o[a] for a in range(3) if a != axis)
-        plane_shifts.append((po, _off_cost(o, anisotropy)))
+        neg_o = tuple(-c for c in o)
+        plane_shifts.append((po, neg_o, _off_cost(o, anisotropy)))
 
     d = jnp.moveaxis(dist, axis, 0)
     m = jnp.moveaxis(ok, axis, 0)
     nc = None if node_cost is None else jnp.moveaxis(node_cost, axis, 0)
+    vg = None if voxel_graph is None else jnp.moveaxis(voxel_graph, axis, 0)
 
     if direction < 0:
         d = d[::-1]
         m = m[::-1]
         nc = None if nc is None else nc[::-1]
+        vg = None if vg is None else vg[::-1]
 
     def step(prev, x):
-        if nc is None:
-            cur, okc = x
-            ncc = None
-        else:
-            cur, okc, ncc = x
+        cur, okc = x[0], x[1]
+        ncc = x[2] if nc is not None else None
+        vgp = x[-1] if vg is not None else None
         cand = jnp.full_like(cur, INF)
-        for po, c in plane_shifts:
+        for po, neg_o, c in plane_shifts:
             s = shifted(prev, po, INF)
+            if vgp is not None:
+                allowed = shifted(graph_allows(vgp, neg_o), po, False)
+                s = jnp.where(allowed, s, INF)
             if ncc is None:
                 cand = jnp.minimum(cand, s + c)
             else:
@@ -94,8 +104,12 @@ def _sweep(dist, ok, node_cost, axis, direction, anisotropy, clamp_positive):
             new = jnp.where(new > 0.0, INF, new)
         return new, new
 
-    xs = (d[1:], m[1:]) if nc is None else (d[1:], m[1:], nc[1:])
-    _, rest = jax.lax.scan(step, d[0], xs)
+    xs = [d[1:], m[1:]]
+    if nc is not None:
+        xs.append(nc[1:])
+    if vg is not None:
+        xs.append(vg[:-1])  # the PREVIOUS plane's permissions
+    _, rest = jax.lax.scan(step, d[0], tuple(xs))
     out = jnp.concatenate([d[:1], rest], axis=0)
 
     if direction < 0:
@@ -105,23 +119,29 @@ def _sweep(dist, ok, node_cost, axis, direction, anisotropy, clamp_positive):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("anisotropy", "node_mode", "clamp_positive", "max_rounds"),
+    static_argnames=(
+        "anisotropy", "node_mode", "clamp_positive", "max_rounds", "has_vg",
+    ),
 )
 def _fixpoint_distance(
     init_dist,
     ok,
     node_cost,
+    voxel_graph,
     anisotropy: Tuple[float, float, float],
     node_mode: bool,
     clamp_positive: bool,
     max_rounds: int,
+    has_vg: bool = False,
 ):
     nc = node_cost if node_mode else None
+    vg = voxel_graph if has_vg else None
 
     def one_round(d):
         for axis in range(3):
             for direction in (1, -1):
-                d = _sweep(d, ok, nc, axis, direction, anisotropy, clamp_positive)
+                d = _sweep(d, ok, nc, axis, direction, anisotropy,
+                           clamp_positive, voxel_graph=vg)
         return d
 
     def cond(state):
@@ -146,6 +166,7 @@ def distance_field(
     node_cost=None,
     clamp_positive: bool = False,
     max_rounds: int = 4096,
+    voxel_graph=None,
 ) -> jnp.ndarray:
     """Exact SSSP distance field to fixpoint.
 
@@ -156,6 +177,7 @@ def distance_field(
       (dijkstra3d field semantics); else anisotropic euclidean step costs.
     clamp_positive: values > 0 are reset to +inf each sweep — used by the
       invalidation ball so the expansion halts at the radius boundary.
+    voxel_graph: optional cc3d-convention connectivity bitfield.
     """
     ok = jnp.asarray(ok_mask, dtype=bool)
     init = jnp.asarray(init_dist, dtype=jnp.float32)
@@ -164,14 +186,21 @@ def distance_field(
         if node_cost is None
         else jnp.asarray(node_cost, dtype=jnp.float32)
     )
+    vg = (
+        jnp.zeros((1, 1, 1), dtype=jnp.uint32)
+        if voxel_graph is None
+        else jnp.asarray(voxel_graph).astype(jnp.uint32)
+    )
     return _fixpoint_distance(
         init,
         ok,
         nc,
+        vg,
         tuple(float(a) for a in anisotropy),
         node_cost is not None,
         bool(clamp_positive),
         int(max_rounds),
+        has_vg=voxel_graph is not None,
     )
 
 
@@ -180,6 +209,7 @@ def euclidean_distance_field(
     source,
     anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
     return_max_location: bool = False,
+    voxel_graph=None,
 ):
     """Geodesic (foreground-constrained) anisotropic euclidean distance from
     source voxel(s). Matches dijkstra3d.euclidean_distance_field semantics
@@ -191,7 +221,7 @@ def euclidean_distance_field(
     init = jnp.full(ok.shape, INF, dtype=jnp.float32)
     src = np.asarray(source, dtype=np.int64).reshape(-1, 3)
     init = init.at[src[:, 0], src[:, 1], src[:, 2]].set(0.0)
-    dist = distance_field(ok, init, anisotropy)
+    dist = distance_field(ok, init, anisotropy, voxel_graph=voxel_graph)
     if not return_max_location:
         return dist
     finite = jnp.where(jnp.isfinite(dist), dist, -1.0)
@@ -199,8 +229,11 @@ def euclidean_distance_field(
     return dist, target
 
 
-@functools.partial(jax.jit, static_argnames=("anisotropy", "node_mode"))
-def _parent_field_impl(dist, ok, node_cost, anisotropy, node_mode):
+@functools.partial(
+    jax.jit, static_argnames=("anisotropy", "node_mode", "has_vg")
+)
+def _parent_field_impl(dist, ok, node_cost, voxel_graph, anisotropy,
+                       node_mode, has_vg=False):
     """Parent direction codes (int8 index into OFFSETS26; 26 = source/none).
 
     At the fixpoint, dist[v] == min_u (dist[u] + cost(u->v)) exactly (the
@@ -212,6 +245,10 @@ def _parent_field_impl(dist, ok, node_cost, anisotropy, node_mode):
     parent = jnp.full(dist.shape, 26, dtype=jnp.int8)
     for k, off in enumerate(OFFSETS26):
         s = shifted(dist, off, INF)
+        if has_vg:
+            neg = tuple(-c for c in off)
+            allowed = shifted(graph_allows(voxel_graph, neg), off, False)
+            s = jnp.where(allowed, s, INF)
         if node_mode:
             cand = s + node_cost
         else:
@@ -231,6 +268,7 @@ def parent_field(
     ok_mask,
     anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
     node_cost=None,
+    voxel_graph=None,
 ):
     ok = jnp.asarray(ok_mask, dtype=bool)
     nc = (
@@ -238,12 +276,19 @@ def parent_field(
         if node_cost is None
         else jnp.asarray(node_cost, dtype=jnp.float32)
     )
+    vg = (
+        jnp.zeros((1, 1, 1), dtype=jnp.uint32)
+        if voxel_graph is None
+        else jnp.asarray(voxel_graph).astype(jnp.uint32)
+    )
     return _parent_field_impl(
         jnp.asarray(dist, dtype=jnp.float32),
         ok,
         nc,
+        vg,
         tuple(float(a) for a in anisotropy),
         node_cost is not None,
+        has_vg=voxel_graph is not None,
     )
 
 
@@ -254,6 +299,7 @@ def invalidation_ball(
     scale: float,
     const: float,
     anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+    voxel_graph=None,
 ) -> jnp.ndarray:
     """Rolling-ball invalidation restricted to the connected component.
 
@@ -277,7 +323,9 @@ def invalidation_ball(
     # sources expand even when they were invalidated by an earlier ball
     # (the C++ seeds the heap before checking labels)
     ok = ok.at[pv[:, 0], pv[:, 1], pv[:, 2]].set(True)
-    dist = distance_field(ok, init, anisotropy, clamp_positive=True)
+    dist = distance_field(
+        ok, init, anisotropy, clamp_positive=True, voxel_graph=voxel_graph
+    )
     return dist <= 0.0
 
 

@@ -48,6 +48,26 @@ def offset_costs(
     return out
 
 
+# cc3d voxel_connectivity_graph bit conventions (reference
+# dijkstra_invalidation.hpp:150-191; cc3d_graphs.hpp): bit k set at voxel v
+# permits movement FROM v along GRAPH_BITS' offset k.
+GRAPH_BITS = {
+    (1, 0, 0): 0, (-1, 0, 0): 1, (0, 1, 0): 2, (0, -1, 0): 3,
+    (0, 0, 1): 4, (0, 0, -1): 5,
+    (1, 1, 0): 6, (-1, 1, 0): 7, (1, -1, 0): 8, (-1, -1, 0): 9,
+    (1, 0, 1): 10, (-1, 0, 1): 11, (0, 1, 1): 12, (0, -1, 1): 13,
+    (1, 0, -1): 14, (-1, 0, -1): 15, (0, 1, -1): 16, (0, -1, -1): 17,
+    (1, 1, 1): 18, (-1, 1, 1): 19, (1, -1, 1): 20, (-1, -1, 1): 21,
+    (1, 1, -1): 22, (-1, 1, -1): 23, (1, -1, -1): 24, (-1, -1, -1): 25,
+}
+
+
+def graph_allows(voxel_graph, offset: Sequence[int]) -> jnp.ndarray:
+    """Bool volume: may a walker leave each voxel along `offset`?"""
+    bit = GRAPH_BITS[tuple(int(o) for o in offset)]
+    return (voxel_graph >> bit) & 1 > 0
+
+
 def shifted(vol: jnp.ndarray, offset: Sequence[int], fill) -> jnp.ndarray:
     """out[v] = vol[v + offset], out-of-bounds filled with `fill`.
 

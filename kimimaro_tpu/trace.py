@@ -117,7 +117,7 @@ def find_soma_root(DBF, dbf_max):
     return tuple(int(c) for c in coords[best])
 
 
-def find_root(fg, anisotropy) -> Optional[tuple]:
+def find_root(fg, anisotropy, voxel_graph=None) -> Optional[tuple]:
     """Distance field from an arbitrary foreground voxel; its maximum is a
     valid root (an extremal point; reference trace.py:291-308)."""
     fg_np = np.asarray(fg)
@@ -126,7 +126,8 @@ def find_root(fg, anisotropy) -> Optional[tuple]:
         return None
     any_voxel = tuple(int(c) for c in nz[0])
     _, target = euclidean_distance_field(
-        fg, any_voxel, anisotropy, return_max_location=True
+        fg, any_voxel, anisotropy, return_max_location=True,
+        voxel_graph=voxel_graph,
     )
     return tuple(int(c) for c in jax.device_get(jnp.stack(target)))
 
@@ -157,10 +158,13 @@ def trace(
     """Skeletonize one binary label given its distance-to-boundary field.
 
     Mirrors the observable behavior of reference trace.py:36-194. `labels`
-    is a binary volume; `DBF` its EDT in physical units.
+    is a binary volume; `DBF` its EDT in physical units. `voxel_graph`
+    (cc3d-convention bitfield) masks movement directions for self-touching
+    labels; it routes path finding through the host loop.
     """
+    vg = None
     if voxel_graph is not None:
-        raise NotImplementedError("voxel_graph is not supported on the TPU path yet")
+        vg = jnp.asarray(voxel_graph).astype(jnp.uint32)
 
     manual_targets_before = list(manual_targets_before or [])
     manual_targets_after = list(manual_targets_after or [])
@@ -176,7 +180,9 @@ def trace(
         if int(n_filled) > 0:
             fg = filled
             black_border = bool(jnp.all(fg))
-            dbf = edt_ops.edt(fg.astype(jnp.uint8), anisotropy, black_border)
+            dbf = edt_ops.edt(
+                fg.astype(jnp.uint8), anisotropy, black_border, voxel_graph=vg
+            )
             dbf = jnp.where(fg, dbf, 0.0)
         dbf_max = float(jnp.max(dbf))
         soma_mode = dbf_max > soma_acceptance_threshold
@@ -188,7 +194,7 @@ def trace(
         root = find_soma_root(jax.device_get(dbf), dbf_max)
         soma_radius = dbf_max * soma_invalidation_scale + soma_invalidation_const
     elif root is None:
-        root = find_root(fg, anisotropy)
+        root = find_root(fg, anisotropy, voxel_graph=vg)
     else:
         root = tuple(int(c) for c in root)
 
@@ -197,7 +203,7 @@ def trace(
 
     dbf_inf = jnp.where(dbf == 0, INF, dbf)
     daf, target = euclidean_distance_field(
-        fg, root, anisotropy, return_max_location=True
+        fg, root, anisotropy, return_max_location=True, voxel_graph=vg
     )
     daf = jnp.where(jnp.isfinite(daf), daf, 0.0)
     max_daf = daf[target[0], target[1], target[2]]
@@ -210,7 +216,7 @@ def trace(
     if soma_mode:
         ball = invalidation_ball(
             valid, dbf, [root], soma_invalidation_scale,
-            soma_invalidation_const, anisotropy,
+            soma_invalidation_const, anisotropy, voxel_graph=vg,
         )
         valid = valid & ~ball
     elif len(manual_targets_before) == 0:
@@ -223,6 +229,7 @@ def trace(
         scale, const, anisotropy,
         soma_mode, soma_radius, fix_branching,
         manual_targets_before, manual_targets_after, max_paths,
+        voxel_graph=vg,
     )
 
     skel = Skeleton.simple_merge(
@@ -253,11 +260,14 @@ def _compute_paths(
     scale, const, anisotropy,
     soma_mode, soma_radius, fix_branching,
     manual_targets_before, manual_targets_after, max_paths,
+    voxel_graph=None,
 ):
     """Dispatch the TEASAR path loop: the fused on-device loop when the
-    manual-target count fits its static buffers, else the host loop."""
+    manual-target count fits its static buffers, else the host loop
+    (always the host loop under a voxel_graph)."""
     if (
-        len(manual_targets_before) <= _FUSED_T_CAP
+        voxel_graph is None
+        and len(manual_targets_before) <= _FUSED_T_CAP
         and len(manual_targets_after) <= _FUSED_T_CAP
     ):
         paths = _compute_paths_device(
@@ -273,6 +283,7 @@ def _compute_paths(
         scale, const, anisotropy,
         soma_mode, soma_radius, fix_branching,
         list(manual_targets_before), list(manual_targets_after), max_paths,
+        voxel_graph=voxel_graph,
     )
 
 
@@ -337,6 +348,7 @@ def _compute_paths_host(
     scale, const, anisotropy,
     soma_mode, soma_radius, fix_branching,
     manual_targets_before, manual_targets_after, max_paths,
+    voxel_graph=None,
 ):
     """The TEASAR path loop (reference trace.py:196-267).
 
@@ -365,12 +377,19 @@ def _compute_paths_host(
     if fix_branching:
         # D = distance from the rail set over PDRF node costs.
         d_init = jnp.full(fg.shape, INF, dtype=jnp.float32).at[root].set(0.0)
-        d_rail = distance_field(fg, d_init, anisotropy, node_cost=pdrf)
+        d_rail = distance_field(
+            fg, d_init, anisotropy, node_cost=pdrf, voxel_graph=voxel_graph
+        )
     else:
         d_init = jnp.full(fg.shape, INF, dtype=jnp.float32).at[root].set(0.0)
-        d_root = distance_field(fg, d_init, anisotropy, node_cost=pdrf)
+        d_root = distance_field(
+            fg, d_init, anisotropy, node_cost=pdrf, voxel_graph=voxel_graph
+        )
         parents_host = np.asarray(
-            jax.device_get(parent_field(d_root, fg, anisotropy, node_cost=pdrf))
+            jax.device_get(parent_field(
+                d_root, fg, anisotropy, node_cost=pdrf,
+                voxel_graph=voxel_graph,
+            ))
         )
 
     while (valid_labels > 0 or manual_targets_before or manual_targets_after) and len(
@@ -386,7 +405,10 @@ def _compute_paths_host(
 
         if fix_branching:
             codes = np.asarray(
-                jax.device_get(parent_field(d_rail, fg, anisotropy, node_cost=pdrf))
+                jax.device_get(parent_field(
+                    d_rail, fg, anisotropy, node_cost=pdrf,
+                    voxel_graph=voxel_graph,
+                ))
             )
             path = _chase_parents(codes, target, OFFSETS26)
         else:
@@ -397,7 +419,10 @@ def _compute_paths_host(
             path = np.concatenate((path[:1], path[dist_to_root > soma_radius]))
 
         if valid_labels > 0 and len(path):
-            ball = invalidation_ball(valid, dbf, path, scale, const, anisotropy)
+            ball = invalidation_ball(
+                valid, dbf, path, scale, const, anisotropy,
+                voxel_graph=voxel_graph,
+            )
             n_inv = int(jnp.sum(ball & valid))
             valid = valid & ~ball
             valid_labels -= n_inv
@@ -407,7 +432,10 @@ def _compute_paths_host(
             if fix_branching:
                 pdrf = _zero_at(pdrf, pcoords)
                 d_rail = _zero_at(d_rail, pcoords)
-                d_rail = distance_field(fg, d_rail, anisotropy, node_cost=pdrf)
+                d_rail = distance_field(
+                    fg, d_rail, anisotropy, node_cost=pdrf,
+                    voxel_graph=voxel_graph,
+                )
 
         paths.append(path)
 

@@ -26,11 +26,13 @@ def compute_cc_labels(all_labels, voxel_graph=None) -> Tuple[np.ndarray, Dict[in
     Mirrors reference utility.py:58-83 (device CCL replaces cc3d). Output
     cc ids are contiguous 1..N; background is 0.
     """
-    if voxel_graph is not None:
-        raise NotImplementedError("voxel_graph is not supported on the TPU path yet")
-
     all_labels = np.asarray(all_labels)
-    cc_raw = np.asarray(jax.device_get(connected_components(all_labels)))
+    vg = None
+    if voxel_graph is not None:
+        vg = jnp.asarray(np.asarray(voxel_graph).astype(np.uint32))
+    cc_raw = np.asarray(
+        jax.device_get(connected_components(all_labels, voxel_graph=vg))
+    )
 
     uniq, first_idx, inv = np.unique(cc_raw, return_index=True, return_inverse=True)
     has_bg = len(uniq) > 0 and uniq[0] == 0
