@@ -212,20 +212,3 @@ def fused_path_loop(
     work_left = (valid_count > 0) | (nb > 0) | (na > 0)
     overflow = overflow | (work_left & (k >= K) & (k < max_paths))
     return paths, lens, k, overflow
-
-
-def fused_path_loop_fixed_parents(
-    fg, valid, dbf, daf, pdrf, root,
-    before_targets, n_before, after_targets, n_after,
-    scale, const, soma_radius, max_paths,
-    anisotropy, soma_mode, K: int, L: int,
-):
-    """fix_branching=False variant: one SSSP tree from the root, chased for
-    every target without rezeroing (reference trace.py:154-156,244)."""
-    return fused_path_loop(
-        fg, valid, dbf, daf, pdrf, root,
-        before_targets, n_before, after_targets, n_after,
-        scale, const, soma_radius, max_paths,
-        anisotropy=anisotropy, fix_branching=False, soma_mode=soma_mode,
-        K=K, L=L,
-    )

@@ -40,6 +40,27 @@ INF = np.float32(np.inf)
 # into this list (sentinel 26 = "is a source / no parent")
 OFFSETS26 = neighborhood_offsets(26)
 
+_PALLAS_SWEEPS: Optional[bool] = None
+
+
+def use_pallas_sweeps() -> bool:
+    """Use the fused Pallas sweep kernel on TPU backends (one launch per
+    sweep instead of one XLA op per plane); the XLA scan path serves CPU
+    and voxel_graph cases. Resolved once, at first field computation."""
+    global _PALLAS_SWEEPS
+    if _PALLAS_SWEEPS is None:
+        try:
+            plat = jax.devices()[0].platform
+        except Exception:
+            plat = "cpu"
+        _PALLAS_SWEEPS = plat in ("tpu", "axon")
+    return _PALLAS_SWEEPS
+
+
+def set_pallas_sweeps(enabled: Optional[bool]) -> None:
+    global _PALLAS_SWEEPS
+    _PALLAS_SWEEPS = enabled
+
 
 def _plane_offsets(axis: int, direction: int):
     """The 9 offsets with offset[axis] == -direction (i.e. reaching the
@@ -63,6 +84,29 @@ def _sweep(dist, ok, node_cost, axis, direction, anisotropy, clamp_positive,
     n = dist.shape[axis]
     if n <= 1:
         return dist
+
+    if voxel_graph is None and use_pallas_sweeps():
+        from . import pallas_sweep
+
+        anis_perm = (float(anisotropy[axis]),) + tuple(
+            float(anisotropy[i]) for i in range(3) if i != axis
+        )
+        d2 = jnp.moveaxis(dist, axis, 0)
+        ok2 = jnp.moveaxis(ok, axis, 0)
+        nc2 = (
+            jnp.moveaxis(node_cost, axis, 0)
+            if node_cost is not None
+            else jnp.zeros_like(d2)
+        )
+        if direction < 0:
+            d2, ok2, nc2 = d2[::-1], ok2[::-1], nc2[::-1]
+        out = pallas_sweep.sweep_axis0(
+            d2, ok2, nc2, anis_perm, node_cost is not None,
+            bool(clamp_positive),
+        )
+        if direction < 0:
+            out = out[::-1]
+        return jnp.moveaxis(out, 0, axis)
 
     offs = _plane_offsets(axis, direction)
     # in-plane shifts of the previous plane: drop the swept axis component

@@ -241,8 +241,6 @@ def sharded_distance_rounds(
     node_mode = node_cost is not None
     nc_in = node_cost if node_mode else jnp.zeros_like(init_dist)
 
-    my_ring = jax.lax if False else None  # silence linters
-
     def sweep(d, ok, nc, axis, direction, edge_plane):
         """Directional sweep along `axis`; for the sharded axis the
         incoming halo plane seeds the first step."""
