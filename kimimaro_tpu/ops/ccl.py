@@ -224,16 +224,23 @@ def label_info(cc, orig_labels, n_max: int, rep_prefix=None):
     reference skeletontricks.pyx:490-525). One small fetch replaces a full
     volume readback.
 
-    Implemented scatter-light (TPU scatters are slow): three per-axis
-    presence histograms (bincounts) give both bboxes and counts; the
+    Implemented scatter-free (TPU scatters process ~75M updates/s while
+    sorts run 134M int32 in ~0.4s): per axis, sort the packed key
+    cc*n_axis + coord; a component's voxels form one contiguous run whose
+    first/last entries ARE its bbox extremes, located by tiny binary
+    searches. Counts fall out of the same run boundaries. The
     original-label mapping comes from a searchsorted over the (monotone)
-    representative prefix-sum from compact_cc — no scatter at all.
+    representative prefix-sum from compact_cc.
 
     Returns (counts (n_max+1,), bbox_min (n_max+1,3), bbox_max (n_max+1,3)
     inclusive, orig (n_max+1,)).
     """
     shape = cc.shape
+    assert (n_max + 2) * max(shape) < 2**31, (
+        "label_info packed sort keys exceed int32; reduce n_max"
+    )
     flat = cc.ravel().astype(jnp.int32)
+    ids = jnp.arange(n_max + 1, dtype=jnp.int32)
 
     bb_min = []
     bb_max = []
@@ -241,16 +248,16 @@ def label_info(cc, orig_labels, n_max: int, rep_prefix=None):
     for axis in range(3):
         na = shape[axis]
         coord = jax.lax.broadcasted_iota(jnp.int32, shape, axis).ravel()
-        hist = jnp.bincount(flat * na + coord, length=(n_max + 1) * na)
-        hist = hist.reshape(n_max + 1, na)
-        present = hist > 0
-        mn = jnp.argmax(present, axis=1).astype(jnp.int32)
-        mx = (na - 1) - jnp.argmax(present[:, ::-1], axis=1).astype(jnp.int32)
-        any_present = jnp.any(present, axis=1)
-        bb_min.append(jnp.where(any_present, mn, np.iinfo(np.int32).max))
-        bb_max.append(jnp.where(any_present, mx, -1))
+        s = jnp.sort(flat * na + coord)
+        lo = jnp.searchsorted(s, ids * na)
+        hi = jnp.searchsorted(s, (ids + 1) * na)
+        present = hi > lo
+        mn = s[jnp.clip(lo, 0, s.shape[0] - 1)] - ids * na
+        mx = s[jnp.clip(hi - 1, 0, s.shape[0] - 1)] - ids * na
+        bb_min.append(jnp.where(present, mn, np.iinfo(np.int32).max))
+        bb_max.append(jnp.where(present, mx, -1))
         if counts is None:
-            counts = jnp.sum(hist, axis=1)
+            counts = hi - lo
     bbox_min = jnp.stack(bb_min, axis=1)
     bbox_max = jnp.stack(bb_max, axis=1)
 

@@ -253,6 +253,22 @@ def _cross_sectional_area_impl(
             if idx in branch_pts:
                 branch_pt_vals[idx].append(float(qareas[k]))
 
+    if visualize_section_planes and query_verts:
+        from .ops.xsarea import cross_section_image
+
+        cross_sections = np.zeros(binimg.shape, dtype=np.uint32)
+        for k, idx in enumerate(query_idx):
+            img = cross_section_image(
+                binimg, query_verts[k], query_normals[k], anisotropy
+            )
+            cross_sections[img > 0] = idx
+        try:
+            import microviewer
+
+            microviewer.view(cross_sections, seg=True)
+        except ImportError:
+            print("kimimaro_tpu: microviewer not installed; skipping view.")
+
     for idx, vals in branch_pt_vals.items():
         areas[idx] = sum(vals) / len(vals)
 
