@@ -195,6 +195,44 @@ def _banded_with_escalation(d, labels, wall, w: float, black_border: bool,
 _AXIS_UNIT = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
 
 
+def edtsq_jittable(
+    labels,
+    anisotropy: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    black_border: bool = False,
+    band: int = 64,
+) -> jnp.ndarray:
+    """Squared multi-label EDT with a STATIC band — traceable inside an
+    outer jit (no host-synced band escalation). Exact wherever distances
+    fit the band; use `edtsq` for the adaptive host-driven version."""
+    labels = jnp.asarray(labels)
+    shape = labels.shape
+    dummy_wall = jnp.zeros((1, 1), dtype=jnp.int32)
+
+    d = jnp.full(shape, BIG, dtype=jnp.float32)
+    first = True
+    for axis in range(3):
+        w = float(anisotropy[axis])
+        n = shape[axis]
+        if n == 1:
+            if black_border:
+                d = jnp.minimum(d, np.float32(w) ** 2)
+            continue
+        lab_t = jnp.moveaxis(labels, axis, 0).reshape(n, -1)
+        if first:
+            out = _axial_pass(lab_t, dummy_wall, w, bool(black_border))
+            first = False
+        else:
+            d_t = jnp.moveaxis(d, axis, 0).reshape(n, -1)
+            out = _parabola_pass_banded(
+                d_t, lab_t, dummy_wall, w, bool(black_border),
+                min(band, n - 1),
+            )
+        out = out.reshape(jnp.moveaxis(d, axis, 0).shape)
+        d = jnp.moveaxis(out, 0, axis)
+        d = jnp.where(labels == 0, 0.0, d)
+    return d
+
+
 def edtsq(
     labels,
     anisotropy: Sequence[float] = (1.0, 1.0, 1.0),

@@ -50,7 +50,7 @@ def use_pallas_sweeps() -> bool:
     global _PALLAS_SWEEPS
     if _PALLAS_SWEEPS is None:
         try:
-            plat = jax.devices()[0].platform
+            plat = jax.default_backend()
         except Exception:
             plat = "cpu"
         _PALLAS_SWEEPS = plat in ("tpu", "axon")
