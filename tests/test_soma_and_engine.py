@@ -1,0 +1,107 @@
+"""Soma-mode behavior and engine-vs-host-trace equivalence.
+
+The reference has no soma unit test (soma params appear only in its
+benchmark driver); these pin the device implementations of hole-fill +
+re-EDT + soma root + radius culling, and guard the batched engine against
+drift from the host trace loop.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import kimimaro_tpu
+from kimimaro_tpu import engine, trace as trace_mod
+from kimimaro_tpu.ops import edt as edt_ops
+from kimimaro_tpu.skeleton import Skeleton
+
+
+def ball(n, r, center=None):
+    c = np.asarray(center if center is not None else (n // 2,) * 3)
+    g = np.indices((n, n, n)).transpose(1, 2, 3, 0)
+    return (np.sum((g - c) ** 2, axis=-1) <= r * r).astype(np.uint8)
+
+
+def test_soma_mode_culls_center():
+    n = 40
+    labels = ball(n, 16)
+    skels = kimimaro_tpu.skeletonize(
+        labels,
+        teasar_params={
+            "scale": 1.5, "const": 2,
+            "pdrf_scale": 100000, "pdrf_exponent": 4,
+            "soma_detection_threshold": 5,
+            "soma_acceptance_threshold": 10,
+            "soma_invalidation_scale": 0.5,
+            "soma_invalidation_const": 0,
+        },
+        dust_threshold=10, fix_borders=False,
+    )
+    skel = skels[1].voxel_space()
+    assert not skel.empty()
+    center = np.array([n // 2] * 3)
+    d = np.linalg.norm(skel.vertices - center, axis=1)
+    # soma culling keeps the root anchor but removes other near-center
+    # vertices (soma_radius = 0.5 * dbf_max ~ 8)
+    near = np.sum(d < 4.0)
+    assert near <= 1
+
+
+def test_soma_hole_fill_triggers():
+    # a hollow ball: the cavity must be filled before the soma decision,
+    # raising dbf_max (reference trace.py:104-119)
+    n = 40
+    labels = ball(n, 16) & ~ball(n, 5)
+    skels = kimimaro_tpu.skeletonize(
+        labels.astype(np.uint8),
+        teasar_params={
+            "scale": 1.5, "const": 2,
+            "pdrf_scale": 100000, "pdrf_exponent": 4,
+            "soma_detection_threshold": 5,
+            "soma_acceptance_threshold": 10,
+        },
+        dust_threshold=10, fix_borders=False,
+    )
+    assert 1 in skels and not skels[1].empty()
+
+
+@pytest.mark.parametrize("fix_branching", (True, False))
+def test_engine_matches_host_trace(fix_branching):
+    # an L-shaped tube: multiple paths, a branch point
+    labels = np.zeros((40, 40, 8), dtype=np.uint8)
+    labels[4:36, 18:22, 2:6] = 1
+    labels[18:22, 4:36, 2:6] = 1
+
+    params = dict(scale=1.5, const=4, pdrf_scale=100000, pdrf_exponent=4,
+                  soma_detection_threshold=1100,
+                  soma_acceptance_threshold=3500)
+
+    # host loop
+    dbf = edt_ops.edt(labels, (1, 1, 1))
+    dbf = jnp.where(jnp.asarray(labels) != 0, dbf, 0.0)
+    host_skel = trace_mod.trace(
+        labels, dbf, anisotropy=(1, 1, 1), fix_branching=fix_branching,
+        **params,
+    )
+
+    # engine (crop = whole volume)
+    cc_dev = jnp.asarray(labels.astype(np.int32))
+    jobs = [{
+        "segid": 1, "offset": np.zeros(3, dtype=np.int64),
+        "shape": np.array(labels.shape, dtype=np.int64),
+        "before": [], "after": [], "root": None,
+    }]
+    results, fallback = engine.trace_batched(
+        cc_dev, jnp.asarray(dbf), jobs, params, (1, 1, 1), fix_branching
+    )
+    assert not fallback
+    eng_skel = engine.paths_to_skeleton(results[1], (1, 1, 1))
+
+    assert Skeleton.equivalent(host_skel, eng_skel)
+    # radii agree per vertex
+    hv = {tuple(v): r for v, r in zip(host_skel.vertices.astype(int),
+                                      host_skel.radii)}
+    for v, r in zip(eng_skel.vertices.astype(int), eng_skel.radii):
+        assert abs(hv[tuple(v)] - r) < 1e-4
