@@ -57,6 +57,29 @@ def test_square_via_skeletonize():
     assert skel.space == "physical"
 
 
+def test_binary_image():
+    # boolean input volume (reference automated_test.py:39-46)
+    labels = np.ones((64, 64, 3), dtype=bool)
+    labels[-1, 0] = 0
+    labels[0, -1] = 0
+    skels = kimimaro_tpu.skeletonize(labels, fix_borders=False,
+                                     dust_threshold=100)
+    assert len(skels) == 1
+
+
+def test_fix_borders_y():
+    labels = np.zeros((64, 64, 64), dtype=np.uint8)
+    labels[16:49, :, 16:49] = 128
+    skels = kimimaro_tpu.skeletonize(
+        labels, teasar_params=TEASAR_SIMPLE, anisotropy=(1, 1, 1),
+        dust_threshold=1000, fix_borders=True,
+    )
+    skel = skels[128].voxel_space()
+    assert np.all(skel.vertices[:, 0] == 32)
+    assert np.all(np.sort(skel.vertices[:, 1]) == np.arange(64))
+    assert np.all(skel.vertices[:, 2] == 32)
+
+
 def test_dimensions():
     for shape in [(10,), (10, 10), (10, 10, 10), (10, 10, 10, 1)]:
         kimimaro_tpu.skeletonize(np.zeros(shape, dtype=np.uint8))
