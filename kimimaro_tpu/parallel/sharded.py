@@ -47,7 +47,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..ops.edt import BIG, _parabola_pass
+from ..ops.edt import BIG, _axial_pass, _parabola_pass_banded
 from ..ops.geodesic import OFFSETS26, _off_cost, _plane_offsets
 from ..ops.stencils import shifted
 
@@ -181,8 +181,12 @@ def sharded_edtsq(
     )
     def impl(lab):
         d = jnp.full(lab.shape, BIG, dtype=jnp.float32)
+        dummy_wall = jnp.zeros((1, 1), dtype=jnp.int32)
 
-        # local passes along axes 1 and 2
+        # local passes along axes 1 and 2: exact axial run-boundary scan,
+        # then a banded parabola pass (static band — shard_map cannot host
+        # the escalation sync; 256 covers structures up to 256 voxels thick)
+        first = True
         for axis in (1, 2):
             w = anis[axis]
             n = lab.shape[axis]
@@ -190,12 +194,19 @@ def sharded_edtsq(
                 if black_border:
                     d = jnp.minimum(d, np.float32(w) ** 2)
                 continue
-            line_block = max(1, min(128, (1 << 24) // max(1, n * n)))
-            lab_t = jnp.moveaxis(lab, axis, -1).reshape(-1, n)
-            d_t = jnp.moveaxis(d, axis, -1).reshape(-1, n)
-            out = _parabola_pass(d_t, lab_t, w, bool(black_border), line_block)
-            out = out.reshape(jnp.moveaxis(d, axis, -1).shape)
-            d = jnp.moveaxis(out, -1, axis)
+            lab_t = jnp.moveaxis(lab, axis, 0).reshape(n, -1)
+            if first:
+                out = _axial_pass(lab_t, dummy_wall, w, bool(black_border))
+                first = False
+            else:
+                d_t = jnp.moveaxis(d, axis, 0).reshape(n, -1)
+                out = _parabola_pass_banded(
+                    d_t, lab_t, dummy_wall, w, bool(black_border),
+                    min(n - 1, 256),
+                )
+            out = out.reshape(jnp.moveaxis(d, axis, 0).shape)
+            d = jnp.moveaxis(out, 0, axis)
+            d = jnp.where(lab == 0, 0.0, d)
 
         # ring pass along the sharded axis 0
         d = _ring_parabola_pass(d, lab, anis[0], bool(black_border), n0, n_dev)
