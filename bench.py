@@ -36,10 +36,29 @@ def load_connectomics():
     return np.asarray(crackle.load(path))
 
 
+def synthetic_volume_dense(n: int, seed: int = 0):
+    """DENSE segmentation resembling the connectomics fixture: an
+    anisotropic Voronoi partition with the same component density (2124
+    components at 512^3, every voxel labeled), generated on device with
+    the framework's own nearest-seed sweep kernel. Heavier than the
+    sparse benchmark (BENCH_DENSE=1 to select)."""
+    import jax
+    import jax.numpy as jnp
+    from kimimaro_tpu.ops.geodesic import voronoi_feature_field
+
+    rng = np.random.RandomState(seed)
+    n_labels = max(2, int(round(2124 * (n / 512) ** 3)))
+    seeds = rng.randint(0, n, size=(n_labels, 3))
+
+    ok = jnp.ones((n, n, n), dtype=bool)
+    _, features = voronoi_feature_field(ok, seeds, (16.0, 16.0, 40.0))
+    return np.asarray(jax.device_get(features)).astype(np.uint32)
+
+
 def synthetic_volume(n: int, mean_label_voxels: int = 63000, seed: int = 0):
     """Deterministic neurite-like segmentation: elongated ellipsoids, one
-    per occupied grid cell, sized so the mean label volume matches the
-    connectomics fixture (~63k voxels/label)."""
+    per occupied grid cell, with component count scaled from the
+    connectomics fixture's density."""
     rng = np.random.RandomState(seed)
     labels = np.zeros((n, n, n), dtype=np.uint32)
 
@@ -54,7 +73,6 @@ def synthetic_volume(n: int, mean_label_voxels: int = 63000, seed: int = 0):
     for c in occupied:
         cx, cy, cz = np.unravel_index(c, (g, g, g))
         ox, oy, oz = cx * cell, cy * cell, cz * cell
-        # elongated along a random axis: half-extents
         axis = rng.randint(3)
         half = np.array([10, 10, 10], dtype=np.float32)
         half[axis] = cell // 2 - 1
@@ -86,8 +104,12 @@ def main():
     labels = load_connectomics()
     source = "connectomics.npy"
     if labels is None or n < 512:
-        labels = synthetic_volume(n)
-        source = f"synthetic_{n}^3"
+        if os.environ.get("BENCH_DENSE", "") not in ("", "0"):
+            labels = synthetic_volume_dense(n)
+            source = f"synthetic_dense_{n}^3"
+        else:
+            labels = synthetic_volume(n)
+            source = f"synthetic_{n}^3"
 
     teasar_params = {
         "scale": 1.5,

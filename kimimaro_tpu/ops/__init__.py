@@ -8,7 +8,9 @@ from .geodesic import (
     euclidean_distance_field,
     flood_fill,
     invalidation_ball,
+    invalidation_cube,
     parent_field,
+    voronoi_feature_field,
 )
 
 __all__ = [
@@ -26,5 +28,7 @@ __all__ = [
     "euclidean_distance_field",
     "flood_fill",
     "invalidation_ball",
+    "invalidation_cube",
     "parent_field",
+    "voronoi_feature_field",
 ]

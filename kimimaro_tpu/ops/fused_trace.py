@@ -36,12 +36,17 @@ INF = np.float32(np.inf)
 
 
 def _relax_fixpoint(d, ok, nc, anisotropy, clamp_positive=False):
-    """Relax to fixpoint with the 6 directional plane sweeps."""
+    """Relax to fixpoint with the 6 directional plane sweeps.
+
+    Always the scan form (pallas=False): this runs inside vmapped engine
+    kernels, where the Pallas grid would serialize the batch dimension.
+    """
 
     def one_round(d):
         for axis in range(3):
             for direction in (1, -1):
-                d = _sweep(d, ok, nc, axis, direction, anisotropy, clamp_positive)
+                d = _sweep(d, ok, nc, axis, direction, anisotropy,
+                           clamp_positive, pallas=False)
         return d
 
     def cond(state):

@@ -74,18 +74,25 @@ def _off_cost(off, anisotropy) -> np.float32:
 
 
 def _sweep(dist, ok, node_cost, axis, direction, anisotropy, clamp_positive,
-           voxel_graph=None):
+           voxel_graph=None, pallas=None):
     """One directional plane sweep along `axis` in `direction` (+1/-1).
 
     voxel_graph (optional): cc3d-convention connectivity bitfield; a
     candidate reaching v from u = v + o is admitted only when u permits
     movement along -o (reference dijkstra_invalidation.hpp:150-191).
+
+    pallas: force/forbid the fused Pallas kernel. IMPORTANT: under vmap the
+    Pallas grid serializes the batch dimension, so batched callers (the
+    trace engine) must pass pallas=False and keep the scan form, whose
+    plane steps vectorize across the batch.
     """
     n = dist.shape[axis]
     if n <= 1:
         return dist
 
-    if voxel_graph is None and use_pallas_sweeps():
+    if pallas is None:
+        pallas = use_pallas_sweeps()
+    if voxel_graph is None and pallas:
         from . import pallas_sweep
 
         anis_perm = (float(anisotropy[axis]),) + tuple(
@@ -462,6 +469,58 @@ def voronoi_feature_field(
     return _voronoi_fixpoint(
         init_d, init_f, ok, tuple(float(a) for a in anisotropy), int(max_rounds)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("anisotropy",))
+def _cube_mask(dbf, path, scale, const, anisotropy):
+    shape = dbf.shape
+    w = np.asarray(anisotropy, dtype=np.float32)
+    coords = [
+        jax.lax.broadcasted_iota(jnp.int32, shape, a).astype(jnp.float32)
+        for a in range(3)
+    ]
+
+    def step(mask, vert):
+        vx = vert.astype(jnp.float32)
+        r = scale * dbf[vert[0], vert[1], vert[2]] + const
+        inside = jnp.ones(shape, dtype=bool)
+        for a in range(3):
+            half = r / w[a]
+            inside = inside & (jnp.abs(coords[a] - vx[a]) <= half)
+        valid = vert[0] >= 0
+        return mask | (inside & valid), None
+
+    mask0 = jnp.zeros(shape, dtype=bool)
+    mask, _ = jax.lax.scan(step, mask0, path)
+    return mask
+
+
+def invalidation_cube(
+    labels,
+    dbf,
+    path_voxels,
+    scale: float,
+    const: float,
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+):
+    """Cube-shaped TEASAR invalidation: zero all labels within the
+    axis-aligned box of physical half-extent scale*DBF[v]+const around each
+    path vertex, crossing label gaps (the legacy semantics of
+    skeletontricks.roll_invalidation_cube, reference
+    skeletontricks.hpp:42-155). Returns (n_invalidated, labels)."""
+    labels = jnp.asarray(labels)
+    dbf = jnp.asarray(dbf, dtype=jnp.float32)
+    pv = jnp.asarray(
+        np.asarray(path_voxels, dtype=np.int32).reshape(-1, 3)
+    )
+    mask = _cube_mask(
+        dbf, pv, jnp.float32(scale), jnp.float32(const),
+        tuple(float(a) for a in anisotropy),
+    )
+    fg = labels != 0
+    n_inv = jnp.sum(mask & fg)
+    out = jnp.where(mask, 0, labels)
+    return n_inv, out
 
 
 def flood_fill(seed_mask, ok_mask, connectivity: int = 6) -> jnp.ndarray:
