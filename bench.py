@@ -40,8 +40,10 @@ def synthetic_volume_dense(n: int, seed: int = 0):
     """DENSE segmentation resembling the connectomics fixture: an
     anisotropic Voronoi partition with the same component density (2124
     components at 512^3, every voxel labeled), generated on device with
-    the framework's own nearest-seed sweep kernel. Heavier than the
-    sparse benchmark (BENCH_DENSE=1 to select)."""
+    the framework's own nearest-seed sweep kernel. This is the DEFAULT
+    workload when the crackle-compressed connectomics fixture can't be
+    decoded (BENCH_SPARSE=1 selects the easier sparse-ellipsoid volume
+    instead)."""
     import jax
     import jax.numpy as jnp
     from kimimaro_tpu.ops.geodesic import voronoi_feature_field
@@ -93,6 +95,12 @@ def synthetic_volume(n: int, mean_label_voxels: int = 63000, seed: int = 0):
 def main():
     import jax
 
+    # sitecustomize pins JAX_PLATFORMS to the tunneled TPU; BENCH_PLATFORM
+    # (e.g. "cpu") overrides it for off-hardware sanity runs
+    plat = os.environ.get("BENCH_PLATFORM", "")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -104,12 +112,12 @@ def main():
     labels = load_connectomics()
     source = "connectomics.npy"
     if labels is None or n < 512:
-        if os.environ.get("BENCH_DENSE", "") not in ("", "0"):
-            labels = synthetic_volume_dense(n)
-            source = f"synthetic_dense_{n}^3"
-        else:
+        if os.environ.get("BENCH_SPARSE", "") not in ("", "0"):
             labels = synthetic_volume(n)
             source = f"synthetic_{n}^3"
+        else:
+            labels = synthetic_volume_dense(n)
+            source = f"synthetic_dense_{n}^3"
 
     teasar_params = {
         "scale": 1.5,
@@ -120,7 +128,11 @@ def main():
         "soma_acceptance_threshold": 3500,
     }
 
+    from kimimaro_tpu.utils import profiling
+
     def run():
+        profiling.reset_stats()
+        profiling.collect(True)
         start = time.perf_counter()
         skels = kimimaro_tpu.skeletonize(
             labels,
@@ -131,21 +143,29 @@ def main():
             fix_branching=True,
             progress=False,
         )
-        return skels, time.perf_counter() - start
+        elapsed = time.perf_counter() - start
+        profiling.collect(False)
+        return skels, elapsed, profiling.get_stats()
 
     # first run includes compilation (persisted to .jax_cache); the second
     # measures steady-state throughput
     run()
-    skels, elapsed = run()
+    skels, elapsed, stats = run()
 
     n_labels = len(skels)
     labels_per_sec = n_labels / elapsed if elapsed > 0 else 0.0
+    phases = {k: round(v, 3) for k, v in stats["phases"].items()}
 
     print(json.dumps({
         "metric": f"skeletonize {source} ({n_labels} labels) labels/sec",
         "value": round(labels_per_sec, 3),
         "unit": "labels/s",
         "vs_baseline": round(labels_per_sec / BASELINE_LABELS_PER_SEC, 3),
+        "seconds_per_volume": round(elapsed, 3),
+        "north_star_seconds": 10.0,
+        "n_labels": n_labels,
+        "phases": phases,
+        "counters": stats["counters"],
     }))
 
 

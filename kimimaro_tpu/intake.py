@@ -102,6 +102,7 @@ def skeletonize(
     # the full volumes never round-trip to the host on the fast path
     from .ops.ccl import compact_cc, connected_components, label_info
 
+    from .utils import profiling
     from .utils.profiling import phase
 
     # shrink the host->device transfer: label VALUES only need to survive
@@ -267,6 +268,8 @@ def skeletonize(
     else:
         # self-touch masking runs through the host trace loop
         results, fallback_jobs = {}, jobs
+    profiling.count("engine_jobs", len(jobs) - len(fallback_jobs))
+    profiling.count("fallback_jobs", len(fallback_jobs))
 
     offsets_by_segid = {j["segid"]: j["offset"] for j in jobs}
     with phase("finalize"):
@@ -286,6 +289,22 @@ def skeletonize(
             skeletons[orig_segid].append(skel)
 
     # host fallback for jobs exceeding the device buffers
+    with phase("host_fallback"):
+        _run_host_fallback(
+            fallback_jobs, cc_dev, dbf_dev, vg_dev, remapping, skeletons,
+            teasar_params, anisotropy, fix_branching,
+        )
+
+    return merge(skeletons)
+
+
+def _run_host_fallback(
+    fallback_jobs, cc_dev, dbf_dev, vg_dev, remapping, skeletons,
+    teasar_params, anisotropy, fix_branching,
+):
+    """Per-label host trace loop for jobs the batched engine couldn't hold
+    (manual-target or path-count overflow; reference equivalent: the plain
+    serial path, intake.py:434-517)."""
     for job in fallback_jobs:
         segid = job["segid"]
         mn = np.asarray(job["offset"], dtype=np.int64)
@@ -316,8 +335,6 @@ def skeletonize(
         )
         skeleton.space = "physical"
         skeletons[orig_segid].append(skeleton)
-
-    return merge(skeletons)
 
 
 # --------------------------------------------------------------------------- #
