@@ -1,25 +1,72 @@
 """Skeleton postprocessing / chunk-merge repair.
 
-TPU-native framework rebuild of /root/reference/kimimaro/post.py. Skeleton
-graphs are tiny (10^2-10^5 nodes) so this stage is host-side numpy/scipy —
-the reference's C++ helpers (find_cycle, create_distance_graph,
-skeletontricks.hpp:209-394) are reimplemented as plain python over edge
-arrays, which profiling shows is negligible next to the device field sweeps.
+Host-side graph surgery over skeleton fragments. Skeleton graphs are tiny
+(10^2-10^5 nodes) next to the device field sweeps, so this stage is plain
+numpy — the observable behavior matches the reference pipeline
+(/root/reference/kimimaro/post.py:49-87) but the machinery here is its own:
+undirected edges live as packed int64 keys (lo<<32 | hi) so that every
+delete/membership step in cycle surgery and spur pruning is one vectorized
+set operation, component fusion runs over a live pair table instead of a
+rebuilt distance matrix, and shortest paths come from a local BFS rather
+than networkx.
 
 Pipeline (reference post.py:49-87):
   consolidate -> remove_dust -> remove_loops ->
   join_close_components(restrict_by_radius) -> remove_ticks
+
+Behavioral contracts preserved from the reference (each noted inline):
+  * loop case analysis by number of branch points on the cycle
+    (post.py:473-483): 0 delete / 1 re-edge to farthest / 2 keep the
+    shorter arc / 3+ collapse to hub with the "stargate" radius guard.
+  * ticks: shortest terminal super-edge below threshold goes first, and
+    degree-2 joints re-fuse as branches disappear (post.py:262-362).
+  * join: greedy globally-closest pair, optional radius restriction of
+    r1+r2 at the matched vertices (post.py:89-218).
+One deliberate divergence: find_row returns -1 when a row is absent; the
+reference's version (post.py:590-601) tests `len()` of a where() tuple and
+can never report a miss.
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 from scipy.spatial import cKDTree as KDTree
 
 from .skeleton import Skeleton
+
+# ---------------------------------------------------------------------------
+# Packed-key edge algebra: an undirected edge (u, v) is the int64 key
+# min(u,v) << 32 | max(u,v). Sets of edges become 1-D key arrays, so
+# removing or testing many edges at once is np.isin instead of row loops.
+
+_LOW32 = np.int64((1 << 32) - 1)
+
+
+def _edge_keys(edges: np.ndarray) -> np.ndarray:
+    """(E, 2) integer array -> canonical int64 key per undirected edge."""
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    return (lo << 32) | hi
+
+
+def _keys_to_edges(keys: np.ndarray) -> np.ndarray:
+    """Inverse of _edge_keys; rows come out (lo, hi) sorted by key."""
+    keys = np.asarray(keys, dtype=np.int64)
+    return np.stack([keys >> 32, keys & _LOW32], axis=1)
+
+
+def _walk_keys(walk: np.ndarray) -> np.ndarray:
+    """Keys of the consecutive edges of a node walk [n0, n1, ..., nk]."""
+    walk = np.asarray(walk, dtype=np.int64)
+    return _edge_keys(np.stack([walk[:-1], walk[1:]], axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline driver (reference post.py:49-87)
 
 
 def postprocess(
@@ -40,16 +87,39 @@ def postprocess(
     return skeleton.consolidate()
 
 
-# --------------------------------------------------------------------------- #
-# Component joining (reference post.py:89-218)
+# ---------------------------------------------------------------------------
+# Dust (reference post.py:222-233)
+
+
+def remove_dust(skeleton: Skeleton, dust_threshold: float) -> Skeleton:
+    """Drop connected components whose cable length is <= the threshold."""
+    if skeleton.empty() or dust_threshold == 0:
+        return skeleton
+    keep = [
+        piece
+        for piece in skeleton.components()
+        if piece.cable_length() > dust_threshold
+    ]
+    return Skeleton.simple_merge(keep)
+
+
+# ---------------------------------------------------------------------------
+# Component fusion (reference post.py:89-218)
+#
+# Greedy agglomeration: repeatedly bridge the globally closest pair of
+# components with an edge between their mutually nearest vertices, while the
+# gap is under `radius`. Instead of the reference's NxN distance matrix that
+# is shrunk and re-padded after each fuse, components carry integer ids in a
+# dict and candidate links live in a pair table keyed by those ids; a fuse
+# retires two ids and measures the new component against the survivors.
 
 
 def join_close_components(
     skeletons, radius: float = np.inf, restrict_by_radius: bool = False
 ) -> Skeleton:
-    """Greedily fuse the closest pair of connected components via their two
-    nearest vertices, repeating until nothing is within `radius` (or within
-    r1+r2 when radius-restricted)."""
+    """Fuse connected components, closest pair first, until no pair is
+    within `radius` (or within r1+r2 of the matched vertices when
+    radius-restricted; reference post.py:150-157)."""
     if radius is None:
         radius = np.inf
     if radius <= 0:
@@ -58,105 +128,78 @@ def join_close_components(
     if isinstance(skeletons, Skeleton):
         skeletons = [skeletons]
 
-    skels: List[Skeleton] = []
+    pieces: List[Skeleton] = []
     for skeleton in skeletons:
-        skels += skeleton.components()
-    skels = [s.consolidate() for s in skels if not s.empty()]
+        pieces += skeleton.components()
+    pieces = [p.consolidate() for p in pieces if not p.empty()]
 
-    if len(skels) == 1:
-        return skels[0]
-    if len(skels) == 0:
+    if len(pieces) == 0:
         return Skeleton()
+    if len(pieces) == 1:
+        return pieces[0]
 
     if restrict_by_radius:
-        radius = 2 * max(float(np.max(s.radii)) for s in skels)
-        radius = max(radius, 0.0)
+        # the search horizon collapses to twice the fattest vertex
+        radius = max(2.0 * max(float(np.max(p.radii)) for p in pieces), 0.0)
 
-    N = len(skels)
-    dist_matrix = np.full((N, N), np.inf, dtype=np.float32)
-    index_matrix = np.full((N, N, 2), np.iinfo(np.uint32).max, dtype=np.uint32)
+    alive: Dict[int, Skeleton] = dict(enumerate(pieces))
+    trees: Dict[int, KDTree] = {i: KDTree(p.vertices) for i, p in alive.items()}
+    # pair id (a, b) with a < b  ->  (gap, vertex index in a, vertex index in b)
+    links: Dict[Tuple[int, int], Tuple[float, int, int]] = {}
 
-    def compute_nearest(tree, i, j):
-        s1, s2 = skels[i], skels[j]
-        r, idx = tree.query(s2.vertices, k=1, distance_upper_bound=radius + 1e-6)
-        idx_s2 = int(np.argmin(r))
-        idx_s1 = int(idx[idx_s2]) if np.isfinite(r[idx_s2]) else 0
-        local = float(r[idx_s2])
-
+    def measure(a: int, b: int) -> None:
+        sa, sb = alive[a], alive[b]
+        gaps, nearest = trees[a].query(
+            sb.vertices, k=1, distance_upper_bound=radius + 1e-6
+        )
+        vb = int(np.argmin(gaps))
+        gap = float(gaps[vb])
+        va = int(nearest[vb]) if np.isfinite(gap) else 0
         if (
             restrict_by_radius
-            and np.isfinite(local)
-            and local > (s1.radii[idx_s1] + s2.radii[idx_s2])
+            and np.isfinite(gap)
+            and gap > float(sa.radii[va]) + float(sb.radii[vb])
         ):
-            local = np.inf
+            gap = np.inf
+        links[(a, b)] = (gap, va, vb)
 
-        dist_matrix[i, j] = dist_matrix[j, i] = local
-        index_matrix[i, j] = (idx_s1, idx_s2)
+    ids = sorted(alive)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            measure(a, b)
 
-    for i in range(N):
-        tree = KDTree(skels[i].vertices)
-        for j in range(i + 1, N):
-            compute_nearest(tree, i, j)
-
-    def symmetric_delete(matrix, k):
-        matrix = np.delete(matrix, k, axis=0)
-        return np.delete(matrix, k, axis=1)
-
-    while len(skels) > 1:
-        min_d = np.min(dist_matrix)
-        if np.isinf(min_d) or min_d > radius:
+    fresh_id = len(pieces)
+    while len(alive) > 1:
+        (a, b), (gap, va, vb) = min(links.items(), key=lambda kv: kv[1][0])
+        if not np.isfinite(gap) or gap > radius:
             break
 
-        i, j = np.unravel_index(np.argmin(dist_matrix), dist_matrix.shape)
-        if index_matrix[i, j, 0] == np.iinfo(np.uint32).max:
-            i, j = j, i  # only the upper-triangle entry holds indices
-        s1, s2 = skels[i], skels[j]
-        fused = Skeleton.simple_merge([s1, s2])
-        fused.edges = np.concatenate(
-            [
-                fused.edges,
-                [[index_matrix[i, j, 0], index_matrix[i, j, 1] + s1.vertices.shape[0]]],
-            ]
-        ).astype(np.uint32)
+        sa, sb = alive[a], alive[b]
+        merged = Skeleton.simple_merge([sa, sb])
+        bridge = np.array([[va, vb + sa.vertices.shape[0]]], dtype=np.uint32)
+        merged.edges = np.concatenate([merged.edges, bridge]).astype(np.uint32)
 
-        skels = [fused] + [s for k, s in enumerate(skels) if k not in (i, j)]
+        for retired in (a, b):
+            del alive[retired]
+            del trees[retired]
+        links = {
+            pair: rec
+            for pair, rec in links.items()
+            if a not in pair and b not in pair
+        }
 
-        lo, hi = min(i, j), max(i, j)
-        dist_matrix = symmetric_delete(dist_matrix, lo)
-        dist_matrix = symmetric_delete(dist_matrix, hi - 1)
-        index_matrix = symmetric_delete(index_matrix, lo)
-        index_matrix = symmetric_delete(index_matrix, hi - 1)
+        alive[fresh_id] = merged
+        trees[fresh_id] = KDTree(merged.vertices)
+        for other in alive:
+            if other != fresh_id:
+                measure(fresh_id, other)
+        fresh_id += 1
 
-        N = len(skels)
-        dm = np.full((N, N), np.inf, dtype=np.float32)
-        dm[1:, 1:] = dist_matrix
-        dist_matrix = dm
-        im = np.full((N, N, 2), np.iinfo(np.uint32).max, dtype=np.uint32)
-        im[1:, 1:] = index_matrix
-        index_matrix = im
-
-        tree = KDTree(skels[0].vertices)
-        for j in range(1, N):
-            compute_nearest(tree, 0, j)
-
-    return Skeleton.simple_merge(skels).consolidate()
+    survivors = [alive[i] for i in sorted(alive)]
+    return Skeleton.simple_merge(survivors).consolidate()
 
 
-# --------------------------------------------------------------------------- #
-# Dust (reference post.py:222-233)
-
-
-def remove_dust(skeleton: Skeleton, dust_threshold: float) -> Skeleton:
-    """Remove connected components with cable length below the threshold."""
-    if skeleton.empty() or dust_threshold == 0:
-        return skeleton
-    skels = [
-        s for s in skeleton.components() if s.cable_length() > dust_threshold
-    ]
-    return Skeleton.simple_merge(skels)
-
-
-# --------------------------------------------------------------------------- #
+# ---------------------------------------------------------------------------
 # Cycle detection (reference skeletontricks.hpp:209-298)
 
 
@@ -228,104 +271,101 @@ def find_cycle(edges: np.ndarray) -> np.ndarray:
     return np.array(path[i:], dtype=np.int32)
 
 
-# --------------------------------------------------------------------------- #
-# Loop removal (reference post.py:436-563)
+# ---------------------------------------------------------------------------
+# Cycle surgery (behavioral spec: reference post.py:446-563)
 
 
 def remove_loops(skeleton: Skeleton) -> Skeleton:
     if skeleton.empty():
         return skeleton
-    skels = [_remove_loops(c) for c in skeleton.components()]
-    return Skeleton.simple_merge(skels).consolidate(
+    pieces = [_break_cycles(c) for c in skeleton.components()]
+    return Skeleton.simple_merge(pieces).consolidate(
         remove_disconnected_vertices=False
     )
 
 
-def _remove_loops(skeleton: Skeleton) -> Skeleton:
-    """Break every cycle using the reference's branch-count case analysis
-    (post.py:446-563): 0 branch points -> delete loop; 1 -> delete + re-edge
-    to the farthest loop node; 2 -> remove the shorter arc; 3+ -> collapse to
-    the centroid-nearest node unless the "stargate" radius check fails, in
-    which case snip a single edge."""
-    nodes = skeleton.vertices
-    edges = np.copy(skeleton.edges).astype(np.int32)
+def _break_cycles(component: Skeleton) -> Skeleton:
+    """Cut every cycle, dispatching on how many branch points (degree >= 3)
+    sit on it — the reference's case table (post.py:473-483):
+
+      0  isolated ring                -> delete it outright
+      1  ring with one tail           -> delete it, then tie the tail's
+                                         branch point to the ring node
+                                         farthest from it
+      2  ring with an entry and exit  -> keep only the shorter arc between
+                                         the two branch points
+      3+ tangle                       -> collapse the ring onto the vertex
+                                         nearest the branch centroid, unless
+                                         that hub's radius can't cover the
+                                         branch spread ("stargate",
+                                         post.py:541-547), in which case
+                                         snip a single ring edge
+    """
+    verts = component.vertices
+    keys = np.unique(_edge_keys(component.edges))
 
     while True:
-        cycle_path = find_cycle(edges)
-        if len(cycle_path) == 0:
+        edge_arr = _keys_to_edges(keys).astype(np.int32)
+        walk = find_cycle(edge_arr)
+        if walk.size == 0:
             break
 
-        edges_cycle = path2edge(cycle_path).astype(np.uint32)
-        edges_cycle.sort(axis=1)
+        ring = np.unique(_walk_keys(walk))
+        ring_nodes = np.unique(walk).astype(np.int64)
 
-        nodes_cycle = np.unique(edges_cycle).astype(np.int32)
+        degree_nodes, degree = np.unique(edge_arr, return_counts=True)
+        branch_nodes = degree_nodes[degree >= 3]
+        ring_branches = ring_nodes[np.isin(ring_nodes, branch_nodes)]
+        extra = [] # edges to add after the cut
 
-        unique_nodes, unique_counts = np.unique(edges, return_counts=True)
-        branch_nodes = unique_nodes[unique_counts >= 3]
-        branch_cycle = nodes_cycle[np.isin(nodes_cycle, branch_nodes)].astype(np.int32)
+        if ring_branches.size == 1:
+            spread = np.sum(
+                (verts[ring_nodes] - verts[ring_branches[0]]) ** 2, axis=1
+            )
+            far_node = int(ring_nodes[np.argmax(spread)])
+            keys = keys[~np.isin(keys, ring)]
+            extra = [(int(ring_branches[0]), far_node)]
 
-        if branch_cycle.shape[0] == 1:
-            branch_point = nodes[branch_cycle, :]
-            cycle_points = nodes[nodes_cycle, :]
-            dist = np.sum((cycle_points - branch_point) ** 2, axis=1)
-            end_node = nodes_cycle[np.argmax(dist)]
-
-            edges = remove_row(edges, edges_cycle)
-            new_edge = np.array([[branch_cycle[0], end_node]], dtype=np.int32)
-            edges = np.concatenate((edges, new_edge), 0)
-
-        elif branch_cycle.shape[0] == 2:
-            path = np.array(cycle_path[1:])
-            pos = np.where(np.isin(path, branch_cycle))[0]
-            if (pos[1] - pos[0]) < len(path) / 2:
-                path = path[pos[0]: pos[1] + 1]
+        elif ring_branches.size == 2:
+            # the ring as a cyclic node sequence (drop the repeated head)
+            seq = np.asarray(walk[1:], dtype=np.int64)
+            stops = np.flatnonzero(np.isin(seq, ring_branches))
+            if stops[1] - stops[0] < len(seq) / 2:
+                arc = seq[stops[0] : stops[1] + 1]
             else:
-                path = np.concatenate((path[pos[1]:], path[: pos[0] + 1]), 0)
+                arc = np.concatenate([seq[stops[1] :], seq[: stops[0] + 1]])
+            short_arc = _walk_keys(arc)
+            # cut the long way around, keep the short arc
+            keys = keys[~np.isin(keys, ring) | np.isin(keys, short_arc)]
 
-            edge_path = path2edge(path)
-            edge_path.sort(axis=1)
-
-            row_valid = np.ones(edges_cycle.shape[0])
-            for i in range(edge_path.shape[0]):
-                row_valid -= (edges_cycle[:, 0] == edge_path[i, 0]) * (
-                    edges_cycle[:, 1] == edge_path[i, 1]
-                )
-            edge_path = edges_cycle[row_valid.astype(bool), :]
-            edges = remove_row(edges, edge_path)
-
-        elif branch_cycle.shape[0] == 0:
-            edges = remove_row(edges, edges_cycle)
+        elif ring_branches.size == 0:
+            keys = keys[~np.isin(keys, ring)]
 
         else:
-            branch_points = nodes[branch_cycle, :]
-            centroid = np.mean(branch_points, axis=0)
-            dist = np.sum((nodes - centroid) ** 2, axis=1)
-            intersect_node = int(np.argmin(dist))
-            intersect_point = nodes[intersect_node, :]
+            centroid = np.mean(verts[ring_branches], axis=0)
+            hub = int(np.argmin(np.sum((verts - centroid) ** 2, axis=1)))
+            spread = float(
+                np.sqrt(np.max(np.sum((verts[ring_branches] - verts[hub]) ** 2, axis=1)))
+            )
+            if spread > component.radii[hub]:
+                keys = keys[~np.isin(keys, ring[:1])]  # single snip
+            else:
+                keys = keys[~np.isin(keys, ring)]
+                extra = [
+                    (int(b), hub) for b in ring_branches if int(b) != hub
+                ]
 
-            dist = np.sqrt(np.max(np.sum((branch_points - intersect_point) ** 2, 1)))
+        if extra:
+            keys = np.unique(
+                np.concatenate([keys, _edge_keys(np.array(extra))])
+            )
 
-            # "stargate" fix (reference post.py:541-547)
-            if dist > skeleton.radii[intersect_node]:
-                edges = remove_row(edges, edges_cycle[:1, :])
-                continue
-
-            edges = remove_row(edges, edges_cycle)
-            new_edges = np.zeros((branch_cycle.shape[0], 2))
-            new_edges[:, 0] = branch_cycle
-            new_edges[:, 1] = intersect_node
-            if np.isin(intersect_node, branch_cycle):
-                idx = np.where(branch_cycle == intersect_node)
-                new_edges = np.delete(new_edges, idx, 0)
-            edges = np.concatenate((edges, new_edges), 0)
-
-    skeleton.vertices = nodes
-    skeleton.edges = edges.astype(np.uint32)
-    return skeleton
+    component.edges = _keys_to_edges(keys).astype(np.uint32)
+    return component
 
 
-# --------------------------------------------------------------------------- #
-# Tick removal (reference post.py:235-434)
+# ---------------------------------------------------------------------------
+# Spur ("tick") pruning (behavioral spec: reference post.py:235-434)
 
 
 def create_distance_graph(skeleton: Skeleton) -> Dict[Tuple[int, int], float]:
@@ -400,115 +440,146 @@ def remove_ticks(skeleton: Skeleton, threshold: float) -> Skeleton:
     re-fusing degree-2 joints as they appear (reference post.py:235-362)."""
     if skeleton.empty() or threshold == 0:
         return skeleton
-    skels = [_remove_ticks(c, threshold) for c in skeleton.components()]
-    return Skeleton.simple_merge(skels).consolidate(
+    pieces = [_prune_spurs(c, threshold) for c in skeleton.components()]
+    return Skeleton.simple_merge(pieces).consolidate(
         remove_disconnected_vertices=False
     )
 
 
-def _remove_ticks(skeleton: Skeleton, threshold: float) -> Skeleton:
-    if skeleton.empty():
-        return skeleton
+def _bfs_path(adjacency: Dict[int, set], src: int, dst: int) -> List[int]:
+    """Shortest (fewest-hop) path src -> dst; neighbors scanned in sorted
+    order so the result is deterministic."""
+    if src == dst:
+        return [src]
+    prev = {src: src}
+    frontier = [src]
+    while frontier and dst not in prev:
+        nxt = []
+        for node in frontier:
+            for nb in sorted(adjacency[node]):
+                if nb not in prev:
+                    prev[nb] = node
+                    nxt.append(nb)
+        frontier = nxt
+    if dst not in prev:
+        return []
+    path = [dst]
+    while path[-1] != src:
+        path.append(prev[path[-1]])
+    return path[::-1]
 
-    import networkx as nx
 
-    dgraph = create_distance_graph(skeleton)
-    edges = skeleton.edges
+def _prune_spurs(component: Skeleton, threshold: float) -> Skeleton:
+    """Single-component tick removal. The super-graph spans critical points;
+    each pass deletes the globally shortest terminal super-edge below the
+    threshold and re-fuses any joint whose branch count drops to 2, exactly
+    the reference's loop conditions (post.py:306-362) — but the underlying
+    voxel-path removal runs over a plain adjacency dict + BFS instead of
+    networkx, and super-edge ties break deterministically by key."""
+    if component.empty():
+        return component
 
-    unique_nodes, unique_counts = np.unique(edges, return_counts=True)
-    terminal_nodes = set(int(n) for n in unique_nodes[unique_counts == 1])
+    supergraph = create_distance_graph(component)
+    edges = component.edges
 
-    branch_counts = defaultdict(int)
-    for n, c in zip(unique_nodes, unique_counts):
-        if c >= 3:
-            branch_counts[int(n)] = int(c)
+    node_ids, degrees = np.unique(edges, return_counts=True)
+    leaves = set(int(n) for n in node_ids[degrees == 1])
 
-    G = nx.Graph()
-    G.add_edges_from(edges)
+    # live branch multiplicity per joint; terminals sit at 0 by default
+    fanout: Dict[int, int] = defaultdict(int)
+    for n, d in zip(node_ids, degrees):
+        if d >= 3:
+            fanout[int(n)] = int(d)
 
-    terminal_superedges = set(
-        e for e in dgraph.keys() if (e[0] in terminal_nodes or e[1] in terminal_nodes)
+    adjacency: Dict[int, set] = defaultdict(set)
+    for u, v in edges:
+        adjacency[int(u)].add(int(v))
+        adjacency[int(v)].add(int(u))
+
+    leaf_edges = set(
+        se for se in supergraph if se[0] in leaves or se[1] in leaves
     )
 
-    def fuse_edge(joint):
-        unify = [e for e in dgraph.keys() if joint in e]
-        new_dist = 0.0
-        for e in unify:
-            terminal_superedges.discard(e)
-            new_dist += dgraph[e]
-            del dgraph[e]
-        nodes = set(n for e in unify for n in e)
-        nodes.remove(joint)
-        key = tuple(nodes)
-        dgraph[key] = new_dist
-        terminal_superedges.add(key)
-        branch_counts[joint] = 0
+    def refuse_joint(joint: int) -> None:
+        """A joint fell to two incident super-edges: splice them into one."""
+        incident = [se for se in supergraph if joint in se]
+        total = 0.0
+        for se in incident:
+            leaf_edges.discard(se)
+            total += supergraph.pop(se)
+        endpoints = set(n for se in incident for n in se)
+        endpoints.discard(joint)
+        spliced = tuple(sorted(endpoints))
+        supergraph[spliced] = total
+        leaf_edges.add(spliced)
+        fanout[joint] = 0
 
-    while len(dgraph) > 1:
-        if not terminal_superedges:
+    while len(supergraph) > 1 and leaf_edges:
+        # shortest terminal super-edge; ties broken by the edge key itself
+        spur = min(leaf_edges, key=lambda se: (supergraph[se], se))
+        u, v = spur
+
+        if fanout[u] == 1 and fanout[v] == 1:
+            break  # last bridge — removing it would erase the skeleton
+        if supergraph[spur] >= threshold:
             break
-        min_edge = min(terminal_superedges, key=dgraph.get)
-        e1, e2 = min_edge
 
-        if branch_counts[e1] == 1 and branch_counts[e2] == 1:
-            break
-        if dgraph[min_edge] >= threshold:
-            break
+        for a, b in zip(*(lambda p: (p[:-1], p[1:]))(_bfs_path(adjacency, u, v))):
+            adjacency[a].discard(b)
+            adjacency[b].discard(a)
 
-        path = nx.shortest_path(G, e1, e2)
-        path = [(path[i], path[i + 1]) for i in range(len(path) - 1)]
-        G.remove_edges_from(path)
+        del supergraph[spur]
+        leaf_edges.remove(spur)
+        fanout[u] -= 1
+        fanout[v] -= 1
 
-        del dgraph[min_edge]
-        terminal_superedges.remove(min_edge)
-        branch_counts[e1] -= 1
-        branch_counts[e2] -= 1
+        if fanout[u] == 2:
+            refuse_joint(u)
+        if fanout[v] == 2:
+            refuse_joint(v)
 
-        if branch_counts[e1] == 2:
-            fuse_edge(e1)
-        if branch_counts[e2] == 2:
-            fuse_edge(e2)
+    kept = [
+        (a, b)
+        for a in sorted(adjacency)
+        for b in sorted(adjacency[a])
+        if a < b
+    ]
+    out = component.clone()
+    out.edges = np.array(kept, dtype=np.uint32).reshape(-1, 2)
+    return out
 
-    skel = skeleton.clone()
-    skel.edges = np.array(list(G.edges), dtype=np.uint32).reshape(-1, 2)
-    return skel
 
-
-# --------------------------------------------------------------------------- #
-# Edge-row helpers (reference post.py:565-601)
+# ---------------------------------------------------------------------------
+# Edge-array utilities (reference post.py:565-601)
 
 
 def path2edge(path) -> np.ndarray:
-    """Sequence of nodes -> (N-1, 2) consecutive edge array."""
+    """Node sequence -> (N-1, 2) array of its consecutive edges."""
     path = np.asarray(path)
-    edges = np.zeros([len(path) - 1, 2], dtype=np.uint32)
-    edges[:, 0] = path[:-1]
-    edges[:, 1] = path[1:]
-    return edges
+    return np.stack([path[:-1], path[1:]], axis=1).astype(np.uint32)
 
 
 def remove_row(array: np.ndarray, rows2remove: np.ndarray) -> np.ndarray:
-    array = np.copy(array)
-    array.sort(axis=1)
+    """Drop every row of `array` equal (as an unordered pair) to any row of
+    `rows2remove`. Rows come back sorted within themselves, as int32."""
+    array = np.asarray(array)
     if array.size == 0:
         return array.astype(np.int32, copy=False)
-
-    rows2remove = np.copy(rows2remove)
-    rows2remove.sort(axis=1)
-
-    for i in range(rows2remove.shape[0]):
-        idx = find_row(array, rows2remove[i, :])
-        if np.sum(idx == -1) == 0:
-            array = np.delete(array, idx, axis=0)
-
-    return array.astype(np.int32, copy=False)
+    arr = np.sort(array.astype(np.int64), axis=1)
+    doomed = _edge_keys(rows2remove)
+    return arr[~np.isin(_edge_keys(arr), doomed)].astype(np.int32)
 
 
-def find_row(array: np.ndarray, row) -> np.ndarray:
-    """Indices of rows of `array` equal to `row` (-1 semantics as reference
-    post.py:590-601)."""
-    matches = (array[:, 0] == row[0]) & (array[:, 1] == row[1])
-    idx = np.where(matches)
-    if len(idx) == 0:
+def find_row(array: np.ndarray, row) -> "np.ndarray | int":
+    """Indices of rows of `array` equal to `row`, or -1 when absent.
+
+    NB: deliberately diverges from reference post.py:590-601, which checks
+    `len()` of the 1-tuple returned by np.where and therefore can never
+    report a miss."""
+    array = np.asarray(array)
+    hits = np.flatnonzero(
+        (array[:, 0] == row[0]) & (array[:, 1] == row[1])
+    )
+    if hits.size == 0:
         return -1
-    return idx[0]
+    return hits
