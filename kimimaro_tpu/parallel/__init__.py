@@ -7,6 +7,7 @@ from .sharded import (
     sharded_distance_rounds,
     sharded_edtsq,
 )
+from .skeletonize import skeletonize_sharded
 
 __all__ = [
     "AXIS",
@@ -16,4 +17,5 @@ __all__ = [
     "sharded_ccl_rounds",
     "sharded_distance_rounds",
     "sharded_edtsq",
+    "skeletonize_sharded",
 ]

@@ -239,18 +239,25 @@ def sharded_distance_rounds(
     mesh: Mesh,
     anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
     node_cost=None,
-    rounds: int = 8,
+    rounds: "int | None" = None,
+    max_rounds: int = 0,
 ):
-    """Run `rounds` of the six directional plane sweeps with cross-shard
-    halo exchange on the leading axis. Within a shard one round extends
-    every monotone geodesic fully; across shards information moves one
-    shard boundary per round per direction, so exact SSSP needs
-    rounds >= n_shards + (number of direction reversals). Iterate to
-    fixpoint for exact distances (kimimaro_tpu.ops.geodesic, distributed)."""
+    """Six directional plane sweeps with cross-shard halo exchange on the
+    leading axis. Within a shard one round extends every monotone geodesic
+    fully; across shards information moves one shard boundary per round per
+    direction. `rounds=None` (the default) iterates ON DEVICE to a global
+    fixpoint: after each round every shard contributes a changed-flag that
+    is psum'd over the mesh, so the while_loop stops exactly when no
+    distance anywhere improved — exact SSSP regardless of shard count or
+    path windiness. An integer `rounds` runs that fixed count (cheaper when
+    the caller knows the topology). `max_rounds` bounds the fixpoint loop
+    (0 -> a volume-diameter default)."""
     anis = tuple(float(a) for a in anisotropy)
     n_dev = mesh.devices.size
     node_mode = node_cost is not None
     nc_in = node_cost if node_mode else jnp.zeros_like(init_dist)
+    if max_rounds <= 0:
+        max_rounds = int(sum(init_dist.shape)) + 8
 
     def sweep(d, ok, nc, axis, direction, edge_plane):
         """Directional sweep along `axis`; for the sharded axis the
@@ -304,7 +311,7 @@ def sharded_distance_rounds(
     def impl(d, ok, nc):
         d = jnp.where(ok, d, INF)
 
-        def one_round(d, _):
+        def one_round(d):
             # sharded axis 0: halo in both directions
             from_prev, from_next = _halo_planes(d, n_dev)
             my = jax.lax.axis_index(AXIS)
@@ -316,9 +323,30 @@ def sharded_distance_rounds(
             for axis in (1, 2):
                 for direction in (1, -1):
                     d = sweep(d, ok, nc, axis, direction, None)
-            return d, None
+            return d
 
-        d, _ = jax.lax.scan(one_round, d, None, length=rounds)
+        if rounds is not None:
+            def scanned(d, _):
+                return one_round(d), None
+
+            d, _ = jax.lax.scan(scanned, d, None, length=rounds)
+            return d
+
+        # fixpoint: iterate until no shard improves any distance
+        def cond(state):
+            _, live, i = state
+            return live & (i < max_rounds)
+
+        def body(state):
+            d, _, i = state
+            new = one_round(d)
+            moved = jnp.any(new < d).astype(jnp.int32)
+            live = jax.lax.psum(moved, AXIS) > 0
+            return new, live, i + 1
+
+        d, _, _ = jax.lax.while_loop(
+            cond, body, (d, jnp.bool_(True), jnp.int32(0))
+        )
         return d
 
     return impl(init_dist, jnp.asarray(ok_mask, dtype=bool), nc_in)
@@ -328,13 +356,21 @@ def sharded_distance_rounds(
 # Sharded connected-components labeling (min-id propagation with halos)
 
 
-def sharded_ccl_rounds(labels, mesh: Mesh, rounds: int = 16):
+def sharded_ccl_rounds(
+    labels, mesh: Mesh, rounds: "int | None" = None, max_rounds: int = 0
+):
     """26-connected multi-label CCL by min-linear-index propagation with
-    one-plane halo exchange per round + local pointer jumping."""
+    one-plane halo exchange per round + local pointer jumping.
+
+    `rounds=None` (default) iterates on device until the psum'd
+    changed-flag over the mesh reports a global fixpoint — component ids
+    are then exact for any topology. An integer runs a fixed count."""
     labels = jnp.asarray(labels)
     n_dev = mesh.devices.size
     n0 = labels.shape[0]
     n_loc = n0 // n_dev
+    if max_rounds <= 0:
+        max_rounds = int(sum(labels.shape)) + 8
 
     @functools.partial(
         shard_map,
@@ -353,7 +389,7 @@ def sharded_ccl_rounds(labels, mesh: Mesh, rounds: int = 16):
         )
         ids = jnp.where(fg, lin, 0)
 
-        def one_round(ids, _):
+        def one_round(ids):
             # halo exchange of boundary planes (ids and labels)
             fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
             bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
@@ -361,7 +397,6 @@ def sharded_ccl_rounds(labels, mesh: Mesh, rounds: int = 16):
             next_ids = jax.lax.ppermute(ids[:1], AXIS, bwd)
             prev_lab = jax.lax.ppermute(lab[-1:], AXIS, fwd)
             next_lab = jax.lax.ppermute(lab[:1], AXIS, bwd)
-            big = jnp.iinfo(jnp.int32).max
             prev_ids = jnp.where(my == 0, 0, prev_ids)
             next_ids = jnp.where(my == n_dev - 1, 0, next_ids)
 
@@ -386,10 +421,30 @@ def sharded_ccl_rounds(labels, mesh: Mesh, rounds: int = 16):
                 hop = flat[idx].reshape(v.shape)
                 return jnp.where(local & (hop > 0), jnp.minimum(v, hop), v)
 
-            best = jump(jump(best))
-            return best, None
+            return jump(jump(best))
 
-        ids, _ = jax.lax.scan(one_round, ids, None, length=rounds)
+        if rounds is not None:
+            def scanned(ids, _):
+                return one_round(ids), None
+
+            ids, _ = jax.lax.scan(scanned, ids, None, length=rounds)
+            return ids
+
+        # fixpoint: min-ids only ever decrease; stop when no shard moved
+        def cond(state):
+            _, live, i = state
+            return live & (i < max_rounds)
+
+        def body(state):
+            ids, _, i = state
+            new = one_round(ids)
+            moved = jnp.any(new != ids).astype(jnp.int32)
+            live = jax.lax.psum(moved, AXIS) > 0
+            return new, live, i + 1
+
+        ids, _, _ = jax.lax.while_loop(
+            cond, body, (ids, jnp.bool_(True), jnp.int32(0))
+        )
         return ids
 
     return impl(labels)
@@ -405,14 +460,15 @@ def preamble_step(
     anisotropy: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     pdrf_scale: float = 100000.0,
     pdrf_exponent: int = 4,
-    sweep_rounds: int = 2,
-    ccl_rounds: int = 4,
+    sweep_rounds: "int | None" = None,
+    ccl_rounds: "int | None" = None,
 ):
     """One full sharded preamble pass: multi-label EDT (ring pass over the
-    mesh) -> PDRF penalty field (fused elementwise) -> CCL rounds ->
-    distance-sweep rounds. This is the compute body that a multi-chip
-    skeletonization would iterate; `__graft_entry__.dryrun_multichip` jits
-    it over an N-device mesh."""
+    mesh) -> PDRF penalty field (fused elementwise) -> CCL to fixpoint ->
+    distance sweeps to fixpoint (None = converge exactly via the psum'd
+    changed-flag; integers run fixed counts). This is the compute body that
+    a multi-chip skeletonization iterates; `__graft_entry__.dryrun_multichip`
+    jits it over an N-device mesh."""
     labels = jnp.asarray(labels)
 
     dsq = sharded_edtsq(labels, mesh, anisotropy, black_border=False)

@@ -1,0 +1,188 @@
+"""Multi-chip end-to-end skeletonization.
+
+`skeletonize_sharded` runs the FULL pipeline with the volume sharded over a
+`jax.sharding.Mesh`: the preamble field kernels (CCL, multi-label EDT)
+execute as mesh collectives (ring min-plus / halo sweeps, iterated to a
+psum'd fixpoint — parallel/sharded.py), metadata extraction (compact ids,
+counts, bounding boxes) runs on the sharded arrays under GSPMD, and
+per-label tracing gathers each component's bbox crop off the mesh and
+drives the same batched trace engine as the single-chip path — so a
+multi-chip run produces the same skeletons as `kimimaro_tpu.skeletonize`.
+
+The reference's analogue is the whole of intake.py:58-266 (its process
+pool fans labels over shm workers; here the volume itself is sharded and
+labels are traced from gathered crops). Scaling story: SURVEY.md §5.8.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .sharded import AXIS, make_mesh, shard_volume, sharded_ccl_rounds, sharded_edtsq
+
+
+def skeletonize_sharded(
+    all_labels,
+    mesh=None,
+    n_devices: Optional[int] = None,
+    teasar_params: Optional[dict] = None,
+    anisotropy=(1.0, 1.0, 1.0),
+    object_ids=None,
+    dust_threshold: int = 1000,
+    fix_branching: bool = True,
+    fix_borders: bool = True,  # matches the single-chip driver's default
+    extra_targets_before=None,
+    extra_targets_after=None,
+    progress: bool = False,
+) -> Dict[int, "object"]:
+    """Skeletonize a labeled volume sharded over a device mesh.
+
+    Semantics match `kimimaro_tpu.skeletonize` for the supported surface
+    (no fill_holes / fix_avocados / voxel_graph on the sharded path — route
+    those volumes through the single-chip driver). Returns {label: Skeleton}
+    in physical space.
+    """
+    from .. import engine, intake
+    from ..intake import DEFAULT_TEASAR_PARAMS
+    from ..ops.ccl import compact_cc, label_info
+
+    teasar_params = dict(DEFAULT_TEASAR_PARAMS if teasar_params is None
+                         else teasar_params)
+
+    labels = intake.format_labels(all_labels)
+    if object_ids is not None:
+        labels = intake.apply_object_mask(labels, object_ids)
+    if labels.size == 0 or not labels.any():
+        return {}
+
+    minlabel = int(labels[labels != 0].min())
+    maxlabel = int(labels.max())
+
+    if mesh is None:
+        mesh = make_mesh(n_devices or len(jax.devices()))
+    n_dev = int(mesh.devices.size)
+
+    # pad the sharded axis up to a multiple of the mesh. Zero padding is
+    # exact: with black_border the pad interface supplies the same boundary
+    # term the border would, and zero voxels drop out of CCL/EDT/trace.
+    n0 = labels.shape[0]
+    pad = (-n0) % n_dev
+    if pad:
+        labels_padded = np.concatenate(
+            [labels, np.zeros((pad,) + labels.shape[1:], labels.dtype)], axis=0
+        )
+    else:
+        labels_padded = labels
+
+    upload = labels_padded
+    if upload.dtype.itemsize > 4:
+        raise ValueError(
+            "skeletonize_sharded: renumber >32-bit labels before sharding"
+        )
+
+    lab_dev = shard_volume(jnp.asarray(upload), mesh)
+
+    # --- sharded preamble: CCL to fixpoint + multi-label EDT (ring pass)
+    ids_raw = sharded_ccl_rounds(lab_dev, mesh)
+    cc_dev, n_comp, rep_prefix = compact_cc(ids_raw)
+    n_components = int(n_comp)
+    if n_components == 0:
+        return {}
+    del ids_raw
+
+    dsq = sharded_edtsq(
+        lab_dev, mesh, anisotropy, black_border=(minlabel == maxlabel)
+    )
+    dbf_dev = jnp.sqrt(dsq)
+
+    # --- metadata on the sharded arrays (GSPMD partitions the reductions)
+    n_max = 1 << max(int(np.ceil(np.log2(max(n_components, 2)))), 1)
+    counts, bbmin, bbmax, orig = jax.device_get(
+        label_info(cc_dev, lab_dev, n_max=n_max, rep_prefix=rep_prefix)
+    )
+    counts = np.asarray(counts)[: n_components + 1]
+    bbmin = np.asarray(bbmin)[: n_components + 1]
+    bbmax = np.asarray(bbmax)[: n_components + 1]
+    orig = np.asarray(orig)[: n_components + 1]
+    remapping = {i: int(orig[i]) for i in range(1, n_components + 1)}
+
+    extra_targets_before = intake.points_to_labels(
+        extra_targets_before or [], cc_dev
+    )
+    extra_targets_after = intake.points_to_labels(
+        extra_targets_after or [], cc_dev
+    )
+
+    border_targets = defaultdict(list)
+    if fix_borders:
+        # border planes of the REAL volume (exclude the zero padding)
+        border_targets = intake.compute_border_targets(
+            cc_dev[:n0], anisotropy
+        )
+
+    jobs = []
+    for segid in range(1, n_components + 1):
+        if counts[segid] <= dust_threshold:
+            continue
+        mn = bbmin[segid].astype(np.int64)
+        shape = bbmax[segid].astype(np.int64) - mn + 1
+        if int(np.prod(shape)) <= 1:
+            continue
+
+        manual_before, manual_after, root = [], [], None
+
+        def translate(targets):
+            return [
+                tuple(int(c) - int(m) for c, m in zip(t, mn)) for t in targets
+            ]
+
+        if len(border_targets[segid]) > 0:
+            manual_before = translate(border_targets[segid])
+            root = manual_before.pop()
+        if segid in extra_targets_before and extra_targets_before[segid]:
+            manual_before.extend(translate(extra_targets_before[segid]))
+        if segid in extra_targets_after and extra_targets_after[segid]:
+            manual_after.extend(translate(extra_targets_after[segid]))
+
+        jobs.append({
+            "segid": segid, "offset": mn, "shape": shape,
+            "before": manual_before, "after": manual_after, "root": root,
+        })
+
+    # --- per-label tracing: gather the component fields off the mesh once
+    # (tiny next to the sharded preamble: skeleton-bearing crops only) and
+    # drive the same batched engine the single-chip path uses.
+    cc_gathered = jnp.asarray(np.asarray(jax.device_get(cc_dev)))
+    dbf_gathered = jnp.asarray(np.asarray(jax.device_get(dbf_dev)))
+
+    results, fallback_jobs = engine.trace_batched(
+        cc_gathered, dbf_gathered, jobs, teasar_params, anisotropy,
+        fix_branching, progress=progress,
+    )
+
+    skeletons = defaultdict(list)
+    offsets_by_segid = {j["segid"]: j["offset"] for j in jobs}
+    for segid, path_list in results.items():
+        skel = engine.paths_to_skeleton(path_list, anisotropy)
+        if skel.empty():
+            continue
+        skel.vertices += offsets_by_segid[segid].astype(np.float32)
+        skel.id = remapping[segid]
+        skel.vertices = np.multiply(
+            skel.vertices, anisotropy, dtype=np.float32
+        )
+        skel.space = "physical"
+        skeletons[skel.id].append(skel)
+
+    intake._run_host_fallback(
+        fallback_jobs, cc_gathered, dbf_gathered, None, remapping, skeletons,
+        teasar_params, anisotropy, fix_branching,
+    )
+
+    return intake.merge(skeletons)
