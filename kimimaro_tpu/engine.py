@@ -82,11 +82,18 @@ def _crop_fill(fg, anisotropy):
     return fg | (bg & ~reached)
 
 
-def _crop_edtsq_banded(labels, anisotropy, black_border, band_cap: int = 128):
+_AXIS_UNIT = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
+
+
+def _crop_edtsq_banded(labels, anisotropy, black_border, voxel_graph=None,
+                       band_cap: int = 128):
     """Squared multi-label EDT of a crop with static bands (in-kernel form:
     no host escalation). Exact when every distance fits the band; crops are
     padded label bounding boxes, so band >= min(dim-1, band_cap) suffices
-    in practice. black_border is a traced bool."""
+    in practice. black_border is a traced bool. `voxel_graph` walls break
+    runs like label changes (same wall-segment cumsum as ops.edt.edtsq)."""
+    from .ops.stencils import graph_allows
+
     shape = labels.shape
     d = jnp.full(shape, np.float32(3.4e37), dtype=jnp.float32)
     BIG = np.float32(3.4e37)
@@ -108,6 +115,16 @@ def _crop_edtsq_banded(labels, anisotropy, black_border, band_cap: int = 128):
             jnp.ones((B, n), dtype=bool), ((0, 0), (band, band)),
             constant_values=False,
         )
+        if voxel_graph is not None:
+            allow = graph_allows(voxel_graph, _AXIS_UNIT[axis])
+            allow_t = jnp.moveaxis(allow, axis, -1).reshape(-1, n)
+            blocked = jnp.concatenate(
+                [jnp.zeros((B, 1), dtype=bool), ~allow_t[:, :-1]], axis=1
+            )
+            wall_t = jnp.cumsum(blocked.astype(jnp.int32), axis=1)
+            w_p = jnp.pad(wall_t, ((0, 0), (band, band)), constant_values=-1)
+        else:
+            wall_t = w_p = None
         oob_g = jnp.where(black_border, 0.0, BIG)
 
         def body(best, o):
@@ -115,6 +132,9 @@ def _crop_edtsq_banded(labels, anisotropy, black_border, band_cap: int = 128):
             l_s = jax.lax.dynamic_slice(l_p, (0, o), (B, n))
             v_s = jax.lax.dynamic_slice(v_p, (0, o), (B, n))
             same = l_s == lab_t
+            if w_p is not None:
+                w_s = jax.lax.dynamic_slice(w_p, (0, o), (B, n))
+                same = same & (w_s == wall_t)
             g = jnp.where(v_s, jnp.where(same, d_s, 0.0), oob_g)
             off = (o - band).astype(jnp.float32)
             return jnp.minimum(best, g + w * w * off * off), None
@@ -150,10 +170,10 @@ def _find_soma_root(dbf, dbf_max, shape):
     return jnp.stack(jnp.unravel_index(idx, shape)).astype(jnp.int32)
 
 
-def _euclid_field(fg, src, anisotropy):
+def _euclid_field(fg, src, anisotropy, voxel_graph=None):
     init = jnp.full(fg.shape, INF, dtype=jnp.float32)
     init = init.at[src[0], src[1], src[2]].set(0.0)
-    return _relax_fixpoint(init, fg, None, anisotropy)
+    return _relax_fixpoint(init, fg, None, anisotropy, voxel_graph=voxel_graph)
 
 
 # --------------------------------------------------------------------------- #
@@ -161,7 +181,7 @@ def _euclid_field(fg, src, anisotropy):
 
 
 def _one_label(
-    cc_full, dbf_full,
+    cc_full, dbf_full, vg_full,
     label_id, offset,
     before, n_before, after, n_after, root_in, has_root, max_paths_in,
     scale, const,
@@ -172,6 +192,7 @@ def _one_label(
     anisotropy: Tuple[float, float, float],
     pdrf_exponent: int,
     fix_branching: bool,
+    has_vg: bool,
     K: int, L: int,
 ):
     shape = crop_shape
@@ -181,6 +202,10 @@ def _one_label(
     lab = jax.lax.dynamic_slice(cc_full, off3, shape)
     fg = (lab == label_id) & (label_id > 0)
     dbf = jnp.where(fg, jax.lax.dynamic_slice(dbf_full, off3, shape), 0.0)
+    # self-touch walls ride along as a cropped bitfield (None when absent
+    # so the no-graph kernels compile unchanged)
+    vg = jax.lax.dynamic_slice(vg_full, off3, shape) if has_vg else None
+    vg_pad = jnp.pad(vg, 1, constant_values=0) if has_vg else None
     lane_active = jnp.any(fg)
 
     dbf_max = jnp.max(dbf)
@@ -191,7 +216,7 @@ def _one_label(
         filled = _crop_fill(fg0, anisotropy)
         n_filled = jnp.sum(filled) - jnp.sum(fg0)
         bb = jnp.all(filled)
-        dsq = _crop_edtsq_banded(filled.astype(jnp.uint8), anisotropy, bb)
+        dsq = _crop_edtsq_banded(filled.astype(jnp.uint8), anisotropy, bb, vg)
         dbf1 = jnp.where(filled, jnp.sqrt(dsq), 0.0)
         take = n_filled > 0
         return (
@@ -214,7 +239,7 @@ def _one_label(
     soma_root = _find_soma_root(dbf, dbf_max, shape)
     first_idx = jnp.argmax(fg.ravel())
     first_vox = jnp.stack(jnp.unravel_index(first_idx, shape)).astype(jnp.int32)
-    d_probe = _euclid_field(fg, first_vox, anisotropy)
+    d_probe = _euclid_field(fg, first_vox, anisotropy, vg)
     auto_root = _masked_argmax_coords(
         jnp.where(jnp.isfinite(d_probe), d_probe, -INF), fg, shape
     )
@@ -224,7 +249,7 @@ def _one_label(
 
     # --- DAF + PDRF (reference trace.py:138-148,315-356)
     dbf_inf = jnp.where(dbf == 0, INF, dbf)
-    daf = _euclid_field(fg, root, anisotropy)
+    daf = _euclid_field(fg, root, anisotropy, vg)
     daf = jnp.where(jnp.isfinite(daf), daf, 0.0)
     daf_target = _masked_argmax_coords(daf, fg, shape)
     max_daf = daf[daf_target[0], daf_target[1], daf_target[2]]
@@ -249,7 +274,8 @@ def _one_label(
         init = jnp.full(shape, INF, dtype=jnp.float32)
         init = init.at[root[0], root[1], root[2]].set(-r)
         ok = valid.at[root[0], root[1], root[2]].set(True)
-        bd = _relax_fixpoint(init, ok, None, anisotropy, clamp_positive=True)
+        bd = _relax_fixpoint(init, ok, None, anisotropy, clamp_positive=True,
+                             voxel_graph=vg)
         return valid & ~(bd <= 0.0)
 
     valid = jax.lax.cond(soma_mode, soma_ball, lambda v: v, valid)
@@ -279,7 +305,7 @@ def _one_label(
     pdrf = pdrf.at[root[0], root[1], root[2]].set(0.0)
     d0 = jnp.full(shape, INF, dtype=jnp.float32)
     d0 = d0.at[root[0], root[1], root[2]].set(0.0)
-    d_rail = _relax_fixpoint(d0, fg, pdrf, anisotropy)
+    d_rail = _relax_fixpoint(d0, fg, pdrf, anisotropy, voxel_graph=vg)
 
     paths0 = jnp.full((K, L, 3), -1, dtype=jnp.int32)
     lens0 = jnp.zeros((K,), dtype=jnp.int32)
@@ -302,7 +328,7 @@ def _one_label(
         na = jnp.where(use_after, na - 1, na)
 
         d_pad = jnp.pad(d_rail, 1, constant_values=INF)
-        path, plen, reached = _chase(d_pad, target, L)
+        path, plen, reached = _chase(d_pad, target, L, vg_pad)
         ov = ov | (~reached)
 
         def cull(path):
@@ -321,7 +347,8 @@ def _one_label(
         ok_inv = valid.at[px, py, pz].set(True, mode="drop")
 
         def invalidate(_):
-            bd = _relax_fixpoint(init, ok_inv, None, anisotropy, clamp_positive=True)
+            bd = _relax_fixpoint(init, ok_inv, None, anisotropy,
+                                 clamp_positive=True, voxel_graph=vg)
             ball = bd <= 0.0
             return valid & ~ball, vc - jnp.sum(ball & valid).astype(jnp.int32)
 
@@ -330,7 +357,8 @@ def _one_label(
         if fix_branching:
             pdrf = pdrf.at[px, py, pz].set(0.0, mode="drop")
             d_rail = d_rail.at[px, py, pz].set(0.0, mode="drop")
-            d_rail = _relax_fixpoint(d_rail, fg, pdrf, anisotropy)
+            d_rail = _relax_fixpoint(d_rail, fg, pdrf, anisotropy,
+                                     voxel_graph=vg)
 
         paths = paths.at[k].set(path)
         lens = lens.at[k].set(plen)
@@ -356,11 +384,12 @@ def _one_label(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "crop_shape", "anisotropy", "pdrf_exponent", "fix_branching", "K", "L",
+        "crop_shape", "anisotropy", "pdrf_exponent", "fix_branching",
+        "has_vg", "K", "L",
     ),
 )
 def batched_trace_kernel(
-    cc_full, dbf_full,
+    cc_full, dbf_full, vg_full,
     label_ids, offsets,
     before, n_before, after, n_after, root_in, has_root, max_paths_in,
     scale, const,
@@ -371,6 +400,7 @@ def batched_trace_kernel(
     anisotropy: Tuple[float, float, float],
     pdrf_exponent: int,
     fix_branching: bool,
+    has_vg: bool,
     K: int,
     L: int,
 ):
@@ -380,11 +410,12 @@ def batched_trace_kernel(
     fn = functools.partial(
         _one_label,
         crop_shape=crop_shape, anisotropy=anisotropy,
-        pdrf_exponent=pdrf_exponent, fix_branching=fix_branching, K=K, L=L,
+        pdrf_exponent=pdrf_exponent, fix_branching=fix_branching,
+        has_vg=has_vg, K=K, L=L,
     )
     return jax.vmap(
         lambda lid, off, b, nb, a, na, r, hr, mp: fn(
-            cc_full, dbf_full, lid, off, b, nb, a, na, r, hr, mp,
+            cc_full, dbf_full, vg_full, lid, off, b, nb, a, na, r, hr, mp,
             scale, const,
             soma_detection_threshold, soma_acceptance_threshold,
             soma_invalidation_scale, soma_invalidation_const, pdrf_scale,
@@ -412,6 +443,7 @@ def trace_batched(
     anisotropy: Sequence[float],
     fix_branching: bool,
     progress: bool = False,
+    voxel_graph=None,
 ) -> Tuple[Dict[int, List[Tuple[np.ndarray, np.ndarray]]], List[dict]]:
     """Run per-label traces in device batches.
 
@@ -432,6 +464,13 @@ def trace_batched(
     sic = float(p.get("soma_invalidation_const", 0))
     max_paths = p.get("max_paths", None)
     anis = tuple(float(a) for a in anisotropy)
+
+    has_vg = voxel_graph is not None
+    vg_full = (
+        jnp.asarray(voxel_graph).astype(jnp.uint32)
+        if has_vg
+        else jnp.zeros((1, 1, 1), dtype=jnp.uint32)
+    )
 
     vol_shape = cc_dev.shape
 
@@ -543,7 +582,7 @@ def trace_batched(
                     mp[j] = int(max_paths)
 
             outs = batched_trace_kernel(
-                cc_dev, dbf_dev,
+                cc_dev, dbf_dev, vg_full,
                 jnp.asarray(lids), jnp.asarray(offs),
                 jnp.asarray(bef), jnp.asarray(nbef),
                 jnp.asarray(aft), jnp.asarray(naft),
@@ -554,7 +593,7 @@ def trace_batched(
                 jnp.float32(pdrf_scale),
                 crop_shape=bshape, anisotropy=anis,
                 pdrf_exponent=pdrf_exponent, fix_branching=bool(fix_branching),
-                K=K, L=L,
+                has_vg=has_vg, K=K, L=L,
             )
             if pending is not None:
                 drain(pending)

@@ -259,15 +259,13 @@ def skeletonize(
             "root": root,
         })
 
-    if vg_dev is None:
-        with phase("trace_batched"):
-            results, fallback_jobs = engine.trace_batched(
-                cc_dev, dbf_dev, jobs, teasar_params, anisotropy,
-                fix_branching, progress=progress,
-            )
-    else:
-        # self-touch masking runs through the host trace loop
-        results, fallback_jobs = {}, jobs
+    with phase("trace_batched"):
+        # self-touch (voxel_graph) volumes ride the same batched engine:
+        # the walls thread through every in-kernel sweep/EDT/chase
+        results, fallback_jobs = engine.trace_batched(
+            cc_dev, dbf_dev, jobs, teasar_params, anisotropy,
+            fix_branching, progress=progress, voxel_graph=vg_dev,
+        )
     profiling.count("engine_jobs", len(jobs) - len(fallback_jobs))
     profiling.count("fallback_jobs", len(fallback_jobs))
 

@@ -35,18 +35,22 @@ from .stencils import offset_costs
 INF = np.float32(np.inf)
 
 
-def _relax_fixpoint(d, ok, nc, anisotropy, clamp_positive=False):
+def _relax_fixpoint(d, ok, nc, anisotropy, clamp_positive=False,
+                    voxel_graph=None):
     """Relax to fixpoint with the 6 directional plane sweeps.
 
     Always the scan form (pallas=False): this runs inside vmapped engine
     kernels, where the Pallas grid would serialize the batch dimension.
+    `voxel_graph` (optional, cc3d bit convention) blocks individual edges —
+    self-touch walls (reference dijkstra_invalidation.hpp:150-191).
     """
 
     def one_round(d):
         for axis in range(3):
             for direction in (1, -1):
                 d = _sweep(d, ok, nc, axis, direction, anisotropy,
-                           clamp_positive, pallas=False)
+                           clamp_positive, voxel_graph=voxel_graph,
+                           pallas=False)
         return d
 
     def cond(state):
@@ -62,13 +66,34 @@ def _relax_fixpoint(d, ok, nc, anisotropy, clamp_positive=False):
     return d
 
 
-def _chase(d_pad, start, max_len: int):
+# bit index authorizing a downhill chase step cur -> cur+o for each 3x3x3
+# window position: the relaxation edge ran (cur+o) -> cur, i.e. movement
+# from the neighbor along -o, so the neighbor's bit for -o must be set
+# (cc3d convention: bit k at voxel v permits leaving v along offset k).
+def _chase_bit_table():
+    from .stencils import GRAPH_BITS
+
+    bits = np.full((27,), 31, dtype=np.int32)  # 31 = never-set dummy
+    for k in range(27):
+        o = (k // 9 - 1, (k // 3) % 3 - 1, k % 3 - 1)
+        if o == (0, 0, 0):
+            continue
+        bits[k] = GRAPH_BITS[(-o[0], -o[1], -o[2])]
+    return bits
+
+
+_CHASE_BITS = _chase_bit_table()
+
+
+def _chase(d_pad, start, max_len: int, vg_pad=None):
     """Walk the shortest-path tree from `start` to the nearest rail
     (d == 0): at each voxel step to the 26-neighbor minimizing the rail
     distance (first-minimum tie break in lexicographic offset order,
-    matching the host parent_field). Returns (path (L,3) int32 with -1
-    padding, length, reached_rail)."""
+    matching the host parent_field). `vg_pad` (optional, zero-padded
+    voxel_graph) forbids steps across blocked edges. Returns (path (L,3)
+    int32 with -1 padding, length, reached_rail)."""
     L = max_len
+    chase_bits = jnp.asarray(_CHASE_BITS, dtype=jnp.uint32)
 
     def cond(state):
         i, cur, path, done = state
@@ -82,6 +107,12 @@ def _chase(d_pad, start, max_len: int):
 
         win = jax.lax.dynamic_slice(d_pad, (cur[0], cur[1], cur[2]), (3, 3, 3))
         flat = win.reshape(27).at[13].set(INF)
+        if vg_pad is not None:
+            vg_win = jax.lax.dynamic_slice(
+                vg_pad, (cur[0], cur[1], cur[2]), (3, 3, 3)
+            ).reshape(27)
+            open_edge = ((vg_win >> chase_bits) & 1) > 0
+            flat = jnp.where(open_edge, flat, INF)
         k = jnp.argmin(flat)
         off = jnp.stack([k // 9 - 1, (k // 3) % 3 - 1, k % 3 - 1])
         nxt = cur + off.astype(jnp.int32)

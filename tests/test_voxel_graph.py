@@ -77,3 +77,56 @@ def test_skeletonize_with_voxel_graph():
         voxel_graph=vg,
     )
     assert len(walled[1].components()) == 2
+
+
+def test_voxel_graph_through_batched_engine():
+    """Self-touch volumes must ride the batched engine (no host fallback)
+    and match the host trace loop (VERDICT round-1 item #7)."""
+    from kimimaro_tpu import engine, trace as trace_mod
+    from kimimaro_tpu.ops import edt as edt_ops
+    import jax.numpy as jnp
+
+    labels = np.zeros((12, 5, 5), dtype=np.uint8)
+    labels[:, 1:4, 1:4] = 1
+    vg = wall_graph(labels.shape, 6)
+
+    cc = connected_components(jnp.asarray(labels), voxel_graph=jnp.asarray(vg))
+    from kimimaro_tpu.ops.ccl import compact_cc
+    cc, n_comp, _ = compact_cc(cc)
+    assert int(n_comp) == 2
+
+    dbf = edt_ops.edt(jnp.asarray(labels), (1, 1, 1), voxel_graph=jnp.asarray(vg))
+    params = {"scale": 1.5, "const": 30, "pdrf_exponent": 4,
+              "pdrf_scale": 100000}
+
+    jobs = []
+    cc_np = np.asarray(cc)
+    for segid in (1, 2):
+        pos = np.argwhere(cc_np == segid)
+        mn, mx = pos.min(0), pos.max(0)
+        jobs.append({"segid": segid, "offset": mn, "shape": mx - mn + 1,
+                     "before": [], "after": [], "root": None})
+
+    results, fallback = engine.trace_batched(
+        cc, dbf, jobs, params, (1, 1, 1), True,
+        voxel_graph=jnp.asarray(vg),
+    )
+    assert fallback == []          # nothing fell back to the host loop
+    assert sorted(results) == [1, 2]
+
+    # engine output == host trace loop on the same walled crops
+    for job in jobs:
+        segid = job["segid"]
+        mn = job["offset"]
+        slc = tuple(slice(int(a), int(a + s)) for a, s in zip(mn, job["shape"]))
+        fg_crop = cc_np[slc] == segid
+        dbf_crop = np.where(fg_crop, np.asarray(dbf)[slc], 0.0).astype(np.float32)
+        host = trace_mod.trace(
+            fg_crop, dbf_crop, anisotropy=(1, 1, 1), fix_branching=True,
+            voxel_graph=jnp.asarray(vg[slc]), **params,
+        )
+        dev_verts = set()
+        for verts, _ in results[segid]:
+            dev_verts.update(map(tuple, verts.tolist()))
+        host_verts = set(map(tuple, host.vertices.astype(int).tolist()))
+        assert dev_verts == host_verts
