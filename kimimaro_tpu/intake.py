@@ -393,87 +393,6 @@ def _bucket(n: int) -> int:
     return b
 
 
-def skeletonize_subset(
-    all_dbf,
-    cc_labels,
-    remapping,
-    teasar_params,
-    anisotropy,
-    all_slices,
-    border_targets,
-    extra_targets_before,
-    extra_targets_after,
-    progress,
-    fix_borders,
-    fix_branching,
-    cc_segids,
-) -> Dict[int, Skeleton]:
-    skeletons = defaultdict(list)
-
-    for segid in cc_segids:
-        slices = all_slices[segid - 1]
-        if slices is None:
-            continue
-
-        roi = Bbox.from_slices(slices)
-        if roi.volume() <= 1:
-            continue
-
-        labels_crop = cc_labels[slices] == segid
-        dbf_crop = np.where(labels_crop, all_dbf[slices], 0.0).astype(np.float32)
-
-        # pad to bucketed shape so jitted kernels compile O(log^3) shapes
-        tgt_shape = tuple(_bucket(s) for s in labels_crop.shape)
-        if tgt_shape != labels_crop.shape:
-            pad = [(0, t - s) for s, t in zip(labels_crop.shape, tgt_shape)]
-            labels_crop = np.pad(labels_crop, pad)
-            dbf_crop = np.pad(dbf_crop, pad)
-
-        manual_targets_before = []
-        manual_targets_after = []
-        root = None
-
-        def translate_to_roi(targets):
-            out = []
-            for t in targets:
-                out.append(tuple(int(c) - int(m) for c, m in zip(t, roi.minpt)))
-            return out
-
-        if len(border_targets[segid]) > 0:
-            manual_targets_before = translate_to_roi(border_targets[segid])
-            root = manual_targets_before.pop()
-
-        if segid in extra_targets_before and len(extra_targets_before[segid]) > 0:
-            manual_targets_before.extend(translate_to_roi(extra_targets_before[segid]))
-        if segid in extra_targets_after and len(extra_targets_after[segid]) > 0:
-            manual_targets_after.extend(translate_to_roi(extra_targets_after[segid]))
-
-        skeleton = trace_mod.trace(
-            labels_crop,
-            dbf_crop,
-            anisotropy=tuple(float(a) for a in anisotropy),
-            fix_branching=fix_branching,
-            manual_targets_before=manual_targets_before,
-            manual_targets_after=manual_targets_after,
-            root=root,
-            **teasar_params,
-        )
-
-        if skeleton.empty():
-            continue
-
-        skeleton.vertices += roi.minpt.astype(np.float32)
-        orig_segid = remapping[segid]
-        skeleton.id = orig_segid
-        skeleton.vertices = np.multiply(
-            skeleton.vertices, anisotropy, dtype=np.float32
-        )
-        skeleton.space = "physical"
-        skeletons[orig_segid].append(skeleton)
-
-    return merge(skeletons)
-
-
 def merge(skeletons: Dict[int, List[Skeleton]]) -> Dict[int, Skeleton]:
     """Fuse per-component skeletons of the same original label
     (reference intake.py:587-593)."""

@@ -138,42 +138,6 @@ def _parabola_pass_banded(d, labels, wall, w: float, black_border: bool,
     return jnp.minimum(best, d)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "black_border", "line_block"))
-def _parabola_pass(d, labels, w: float, black_border: bool, line_block: int = 128):
-    """One exact min-plus parabola pass along the LAST axis.
-
-    d: (B, n) float32 squared distances from previous passes (BIG = inf).
-    labels: (B, n) labels along the same lines.
-    """
-    B, n = d.shape
-    jj = jnp.arange(n, dtype=jnp.float32)
-    # kernel[i, j] = w^2 (i - j)^2
-    kern = (np.float32(w) ** 2) * (jj[None, :] - jj[:, None]) ** 2  # (n, n)
-
-    nb = -(-B // line_block)
-    pad = nb * line_block - B
-    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=BIG)
-    l_p = jnp.pad(labels, ((0, pad), (0, 0)), constant_values=0)
-    d_p = d_p.reshape(nb, line_block, n)
-    l_p = l_p.reshape(nb, line_block, n)
-
-    def one_block(args):
-        dc, lc = args  # (line_block, n)
-        same = lc[:, :, None] == lc[:, None, :]  # (blk, i, j)
-        g = jnp.where(same, dc[:, None, :], 0.0)  # (blk, i, j)
-        return jnp.min(g + kern[None, :, :], axis=2)
-
-    out = jax.lax.map(one_block, (d_p, l_p))
-    out = out.reshape(nb * line_block, n)[:B]
-
-    if black_border:
-        ii = jnp.arange(n, dtype=jnp.float32)
-        border = (np.float32(w) ** 2) * jnp.minimum(ii + 1.0, jnp.float32(n) - ii) ** 2
-        out = jnp.minimum(out, border[None, :])
-
-    return out
-
-
 def _banded_with_escalation(d, labels, wall, w: float, black_border: bool,
                             n: int, has_wall: bool):
     """Run the banded parabola pass, doubling the band wherever the

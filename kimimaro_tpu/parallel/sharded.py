@@ -165,7 +165,7 @@ def sharded_edtsq(
 ):
     """Multi-label anisotropic squared EDT with the volume sharded over the
     mesh's leading axis. Passes along unsharded axes are local
-    (ops.edt._parabola_pass); the sharded-axis pass is the ring min-plus."""
+    (ops.edt._parabola_pass_banded); the sharded-axis pass is the ring min-plus."""
     labels = jnp.asarray(labels)
     n0, n1, n2 = labels.shape
     n_dev = mesh.devices.size

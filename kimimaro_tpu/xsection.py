@@ -186,6 +186,9 @@ def _cross_sectional_area_impl(
         areas = skel.cross_sectional_area
         contacts = skel.cross_sectional_area_contacts
     else:
+        # zero = "skipped in this pass" (the step>1 stride test relies on
+        # it: reference automated_test.py:588-604); -1 marks skeletons the
+        # driver never visited at all (reference utility.py:253-255,556)
         areas = np.zeros(all_verts.shape[0], dtype=np.float32)
         contacts = np.zeros(all_verts.shape[0], dtype=np.uint8)
 
