@@ -1,0 +1,214 @@
+"""Independent TEASAR oracle for SWC vertex-position parity measurement.
+
+The reference implementation (seung-lab/kimimaro) cannot execute in this
+image (its compiled deps — edt, dijkstra3d, cc3d, fastremap — are not
+installed and there is no network), so reference-generated SWC fixtures
+cannot be produced here. This module is the next-strongest thing: a
+from-first-principles reimplementation of the TEASAR algorithm the
+reference documents (reference trace.py:36-267), built ONLY on scipy
+primitives (exact `distance_transform_edt`, heap-based
+`sparse.csgraph.dijkstra`) — sharing no code or design with
+kimimaro_tpu's sweep-relaxation kernels. Agreement between the two is
+therefore evidence about the algorithm, not about shared bugs.
+
+Algorithm mirrored (citations into /root/reference/kimimaro/trace.py):
+  - DBF: exact anisotropic EDT, black border optional (trace via edt.edt)
+  - root: euclidean-distance-field argmax from the first foreground voxel
+    (trace.py:291-308)
+  - DAF: geodesic euclidean distance field from the root (trace.py:139-145)
+  - PDRF = pdrf_scale * (1 - DBF/dbf_max^1.01)^pdrf_exponent + DAF/max(DAF)
+    (trace.py:315-356)
+  - path loop (trace.py:196-267): target = valid-masked DAF argmax; path =
+    min-cost (node-weight PDRF) route to the nearest rail; invalidation =
+    geodesic ball of radius scale*DBF+const around each path vertex;
+    fix_branching: rails get PDRF 0 and the route field is recomputed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage, sparse
+from scipy.sparse import csgraph
+
+
+def _neighbor_table(shape, fg, anisotropy):
+    """26-connected adjacency among foreground voxels.
+
+    Returns (rows, cols, euclidean_step_lengths) as flat-index arrays."""
+    sx, sy, sz = shape
+    idx = np.arange(np.prod(shape)).reshape(shape)
+    rows, cols, dists = [], [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if (dx, dy, dz) == (0, 0, 0):
+                    continue
+                src = (
+                    slice(max(0, -dx), sx - max(0, dx)),
+                    slice(max(0, -dy), sy - max(0, dy)),
+                    slice(max(0, -dz), sz - max(0, dz)),
+                )
+                dst = (
+                    slice(max(0, dx), sx - max(0, -dx)),
+                    slice(max(0, dy), sy - max(0, -dy)),
+                    slice(max(0, dz), sz - max(0, -dz)),
+                )
+                ok = fg[src] & fg[dst]
+                rows.append(idx[src][ok])
+                cols.append(idx[dst][ok])
+                step = np.sqrt(
+                    (dx * anisotropy[0]) ** 2
+                    + (dy * anisotropy[1]) ** 2
+                    + (dz * anisotropy[2]) ** 2
+                )
+                dists.append(np.full(ok.sum(), step, dtype=np.float64))
+    return np.concatenate(rows), np.concatenate(cols), np.concatenate(dists)
+
+
+class _Grid:
+    def __init__(self, fg, anisotropy):
+        self.shape = fg.shape
+        self.fg = fg
+        self.n = int(np.prod(fg.shape))
+        r, c, d = _neighbor_table(fg.shape, fg, anisotropy)
+        self.rows, self.cols = r, c
+        self.euclid = sparse.csr_matrix(
+            (d, (r, c)), shape=(self.n, self.n)
+        )
+
+    def node_cost_graph(self, field):
+        """Directed graph where stepping u->v costs field[v] (dijkstra3d's
+        node-weight semantics)."""
+        w = field.ravel()[self.cols]
+        return sparse.csr_matrix(
+            (w, (self.rows, self.cols)), shape=(self.n, self.n)
+        )
+
+    def geodesic_from(self, sources):
+        return csgraph.dijkstra(self.euclid, indices=sources, min_only=True)
+
+
+def oracle_teasar(
+    binimg: np.ndarray,
+    anisotropy=(1.0, 1.0, 1.0),
+    scale: float = 1.5,
+    const: float = 300.0,
+    pdrf_scale: float = 100000.0,
+    pdrf_exponent: int = 4,
+    black_border: bool = True,
+    root=None,
+    max_paths: int = 10000,
+):
+    """Returns (vertices (N,3) int voxel coords, edges (E,2)) of the TEASAR
+    skeleton of a single connected binary object."""
+    fg = np.asarray(binimg).astype(bool)
+    anisotropy = np.asarray(anisotropy, dtype=np.float64)
+    shape = fg.shape
+
+    if not fg.any():
+        return np.zeros((0, 3), dtype=np.int64), np.zeros((0, 2), dtype=np.int64)
+
+    # --- DBF (exact EDT; black border via zero padding)
+    if black_border:
+        padded = np.pad(fg, 1)
+        dbf = ndimage.distance_transform_edt(padded, sampling=anisotropy)
+        dbf = dbf[1:-1, 1:-1, 1:-1]
+    else:
+        dbf = ndimage.distance_transform_edt(fg, sampling=anisotropy)
+    dbf = np.where(fg, dbf, 0.0)
+    dbf_max = dbf.max()
+
+    grid = _Grid(fg, anisotropy)
+    flat_fg = fg.ravel()
+
+    # --- root: EDF argmax from the first foreground voxel (trace.py:291-308)
+    if root is None:
+        first = int(np.argmax(flat_fg))
+        probe = grid.geodesic_from([first])
+        probe = np.where(np.isfinite(probe) & flat_fg, probe, -np.inf)
+        root_idx = int(np.argmax(probe))
+    else:
+        root_idx = int(np.ravel_multi_index(tuple(root), shape))
+
+    # --- DAF + PDRF (trace.py:139-148,315-356)
+    daf = grid.geodesic_from([root_idx])
+    daf = np.where(np.isfinite(daf), daf, 0.0)
+    max_daf = daf.max()
+
+    m = 1.0 / max(dbf_max, 1e-30) ** 1.01
+    with np.errstate(invalid="ignore"):
+        p = 1.0 - np.where(dbf == 0, np.inf, dbf) * m
+    pdrf = pdrf_scale * p.ravel() ** pdrf_exponent
+    if max_daf > 0:
+        pdrf = pdrf + daf / max_daf
+    pdrf = np.where(flat_fg, pdrf, np.inf)
+    pdrf[root_idx] = 0.0
+
+    # --- path loop (trace.py:196-267), fix_branching semantics
+    valid = flat_fg.copy()
+    rails = np.zeros(grid.n, dtype=bool)
+    rails[root_idx] = True
+
+    vertices = set()
+    edges = set()
+
+    radius_flat = scale * dbf.ravel() + const
+
+    for _ in range(max_paths):
+        if not valid.any():
+            break
+        target = int(np.argmax(np.where(valid, daf, -np.inf)))
+
+        # min-cost route target -> nearest rail under node-weight PDRF
+        G = grid.node_cost_graph(pdrf)
+        dist, pred, _src = csgraph.dijkstra(
+            G, indices=np.flatnonzero(rails), min_only=True,
+            return_predecessors=True,
+        )
+        path = [target]
+        cur = target
+        while not rails[cur]:
+            cur = int(pred[cur])
+            if cur < 0:
+                break  # disconnected (shouldn't happen in one component)
+            path.append(cur)
+
+        # record path (rail-first like the reference)
+        path = path[::-1]
+        for a, b in zip(path[:-1], path[1:]):
+            edges.add((min(a, b), max(a, b)))
+        vertices.update(path)
+
+        # invalidation: geodesic ball of per-vertex radius around the path
+        pal = np.array(path, dtype=np.int64)
+        ball_d = csgraph.dijkstra(grid.euclid, indices=pal)
+        hit = (ball_d <= radius_flat[pal][:, None]).any(axis=0)
+        valid &= ~hit
+        valid[pal] = False
+
+        # new rails: zero PDRF along the path (trace.py:261-263)
+        pdrf[pal] = 0.0
+        rails[pal] = True
+
+    verts = np.array(sorted(vertices), dtype=np.int64)
+    coords = np.stack(np.unravel_index(verts, shape), axis=1)
+    remap = {int(v): i for i, v in enumerate(verts)}
+    edge_arr = np.array(
+        sorted((remap[a], remap[b]) for a, b in edges), dtype=np.int64
+    ).reshape(-1, 2)
+    return coords, edge_arr
+
+
+def vertex_parity(got_vertices, oracle_vertices, tol_voxels: float = 1.0):
+    """Fraction of `got` vertices within `tol` voxels of some oracle vertex
+    and vice versa (symmetric parity, the BASELINE.md north-star metric)."""
+    if len(got_vertices) == 0 or len(oracle_vertices) == 0:
+        return float(len(got_vertices) == len(oracle_vertices))
+    from scipy.spatial import cKDTree
+
+    got = np.asarray(got_vertices, dtype=np.float64)
+    orc = np.asarray(oracle_vertices, dtype=np.float64)
+    d1, _ = cKDTree(orc).query(got, k=1)
+    d2, _ = cKDTree(got).query(orc, k=1)
+    hits = (d1 <= tol_voxels).sum() + (d2 <= tol_voxels).sum()
+    return float(hits) / (len(got) + len(orc))
