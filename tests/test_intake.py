@@ -68,16 +68,16 @@ def test_binary_image():
 
 
 def test_fix_borders_y():
-    labels = np.zeros((64, 64, 64), dtype=np.uint8)
-    labels[16:49, :, 16:49] = 128
+    labels = np.zeros((32, 32, 32), dtype=np.uint8)
+    labels[8:25, :, 8:25] = 128
     skels = kimimaro_tpu.skeletonize(
         labels, teasar_params=TEASAR_SIMPLE, anisotropy=(1, 1, 1),
         dust_threshold=1000, fix_borders=True,
     )
     skel = skels[128].voxel_space()
-    assert np.all(skel.vertices[:, 0] == 32)
-    assert np.all(np.sort(skel.vertices[:, 1]) == np.arange(64))
-    assert np.all(skel.vertices[:, 2] == 32)
+    assert np.all(skel.vertices[:, 0] == 16)
+    assert np.all(np.sort(skel.vertices[:, 1]) == np.arange(32))
+    assert np.all(skel.vertices[:, 2] == 16)
 
 
 def test_dimensions():
@@ -104,8 +104,8 @@ def test_find_border_targets():
 def test_fix_borders_z():
     # reference automated_test.py:116-146 at 64^3: axis-aligned slab produces
     # a perfectly straight centerline at the deterministic border target
-    labels = np.zeros((64, 64, 64), dtype=np.uint8)
-    labels[16:49, 16:49, :] = 128
+    labels = np.zeros((32, 32, 32), dtype=np.uint8)
+    labels[8:25, 8:25, :] = 128
 
     skels = kimimaro_tpu.skeletonize(
         labels, teasar_params=TEASAR_SIMPLE, anisotropy=(40, 32, 20),
@@ -114,23 +114,23 @@ def test_fix_borders_z():
     skel = skels[128]
     assert skel.space == "physical"
     skel = skel.voxel_space()
-    assert np.all(skel.vertices[:, 0] == 32)
-    assert np.all(skel.vertices[:, 1] == 32)
-    assert np.all(np.sort(skel.vertices[:, 2]) == np.arange(64))
+    assert np.all(skel.vertices[:, 0] == 16)
+    assert np.all(skel.vertices[:, 1] == 16)
+    assert np.all(np.sort(skel.vertices[:, 2]) == np.arange(32))
     assert skel.space == "voxel"
 
 
 def test_fix_borders_x():
-    labels = np.zeros((64, 64, 64), dtype=np.uint8)
-    labels[:, 16:49, 16:49] = 128
+    labels = np.zeros((32, 32, 32), dtype=np.uint8)
+    labels[:, 8:25, 8:25] = 128
     skels = kimimaro_tpu.skeletonize(
         labels, teasar_params=TEASAR_SIMPLE, anisotropy=(1, 1, 1),
         dust_threshold=1000, fix_borders=True,
     )
     skel = skels[128].voxel_space()
-    assert np.all(np.sort(skel.vertices[:, 0]) == np.arange(64))
-    assert np.all(skel.vertices[:, 1] == 32)
-    assert np.all(skel.vertices[:, 2] == 32)
+    assert np.all(np.sort(skel.vertices[:, 0]) == np.arange(32))
+    assert np.all(skel.vertices[:, 1] == 16)
+    assert np.all(skel.vertices[:, 2] == 16)
 
 
 def test_extra_targets():
@@ -220,7 +220,7 @@ def test_fix_avocados():
     import jax
     from kimimaro_tpu.ops import edt as edt_ops
 
-    labels = np.zeros((128, 128, 128), dtype=np.uint32)
+    labels = np.zeros((64, 64, 64), dtype=np.uint32)
     # fake clipped avocado
     labels[:25, :20, :15] = 1
     labels[:12, :10, :12] = 2
@@ -229,8 +229,8 @@ def test_fix_avocados():
     labels[30:45, 25:45, 20:35] = 4
     labels[30:35, 26:44, 21:34] = 5
     # not an avocado
-    labels[100:, 100:, 100:] = 6  # not a pit
-    labels[75:100, 100:, 100:] = 7  # not a fruit
+    labels[56:, 56:, 56:] = 6  # not a pit
+    labels[50:56, 56:, 56:] = 7  # not a fruit
 
     def fn(lbls):
         return np.asarray(jax.device_get(edt_ops.edt(lbls, (1, 1, 1))))
@@ -245,8 +245,8 @@ def test_fix_avocados():
     assert uniq == {0, 1, 2, 3, 4}  # 2 and 5 absorbed, renumbered
     assert np.all(out_labels[:25, :20, :15] == 1)
     assert np.all(out_labels[25:50, 20:50, 15:40] == 2)
-    assert np.all(out_labels[75:100, 100:, 100:] == 3)
-    assert np.all(out_labels[100:, 100:, 100:] == 4)
+    assert np.all(out_labels[50:56, 56:, 56:] == 3)
+    assert np.all(out_labels[56:, 56:, 56:] == 4)
 
 
 def test_synapses_to_targets():

@@ -25,8 +25,8 @@ def ball(n, r, center=None):
 
 
 def test_soma_mode_culls_center():
-    n = 40
-    labels = ball(n, 16)
+    n = 32
+    labels = ball(n, 12)
     skels = kimimaro_tpu.skeletonize(
         labels,
         teasar_params={
@@ -52,8 +52,8 @@ def test_soma_mode_culls_center():
 def test_soma_hole_fill_triggers():
     # a hollow ball: the cavity must be filled before the soma decision,
     # raising dbf_max (reference trace.py:104-119)
-    n = 40
-    labels = ball(n, 16) & ~ball(n, 5)
+    n = 32
+    labels = ball(n, 12) & ~ball(n, 4)
     skels = kimimaro_tpu.skeletonize(
         labels.astype(np.uint8),
         teasar_params={
