@@ -227,10 +227,19 @@ def view(filename, port, color_by):
         with open(filename, "rt") as f:
             skel = Skeleton.from_swc(f.read())
         microviewer.objects([skel], skeleton_color_by=color_by)
-    elif ext == ".npy":
-        microviewer.view(np.load(filename), seg=True, port=port)
-    else:
-        print(f"kimimaro_tpu: {filename} was not a .swc or .npy file.")
+        return
+    # volumes route through the extension-sniffing loader: npy/npy.gz/ckl/
+    # nrrd/nii/tif (reference kimimaro_cli/__init__.py:197-219 + codecs)
+    try:
+        labels = codecs.load(filename)
+    except ImportError as e:
+        print(f"kimimaro_tpu: {e}")
+        return
+    except ValueError:
+        print(f"kimimaro_tpu: {filename} was not a viewable format "
+              "(.swc or a volume: .npy/.npy.gz/.ckl/.nrrd/.nii/.tif).")
+        return
+    microviewer.view(labels, seg=True, port=port)
 
 
 @main.command()

@@ -68,6 +68,9 @@ def load(path: str) -> np.ndarray:
 
 
 def save(path: str, arr: np.ndarray) -> None:
+    """Save a volume by extension: npy/npy.gz always; ckl/nrrd/nii/tif when
+    the codec package is installed (clear ImportError otherwise); anything
+    else is a ValueError (reference codecs.py analogue of load)."""
     ext = normalize_file_ext(path)
     if path.endswith(".npy.gz"):
         buf = io.BytesIO()
@@ -77,5 +80,35 @@ def save(path: str, arr: np.ndarray) -> None:
         return
     if ext == ".npy":
         np.save(path, arr)
+        return
+    if ext == ".ckl" or path.endswith(".ckl.gz"):
+        try:
+            import crackle
+        except ImportError as e:
+            raise ImportError(
+                "crackle-codec is required to write .ckl files"
+            ) from e
+        crackle.save(arr, path)
+        return
+    if ext == ".nrrd":
+        try:
+            import nrrd
+        except ImportError as e:
+            raise ImportError("pynrrd is required to write .nrrd files") from e
+        nrrd.write(path, arr)
+        return
+    if ext in (".nii", ".nii.gz"):
+        try:
+            import nibabel as nib
+        except ImportError as e:
+            raise ImportError("nibabel is required to write .nii files") from e
+        nib.save(nib.Nifti1Image(arr, affine=np.eye(4)), path)
+        return
+    if ext in (".tif", ".tiff"):
+        try:
+            import tifffile
+        except ImportError as e:
+            raise ImportError("tifffile is required to write .tif files") from e
+        tifffile.imwrite(path, arr)
         return
     raise ValueError(f"Unsupported output format: {path}")

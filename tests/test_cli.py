@@ -70,3 +70,65 @@ def test_license(runner):
     result = runner.invoke(main, ["license"])
     assert result.exit_code == 0
     assert "MIT" in result.output or "Permission" in result.output
+
+
+def test_swc_to_tiff(tmp_path, runner):
+    # reference kimimaro_cli/__init__.py:176-195: --format tiff path; in
+    # this environment tifffile is absent, so the CLI must degrade with a
+    # message rather than crash (and write nothing)
+    skel = Skeleton(
+        [(0, 0, 0), (1, 1, 1), (2, 2, 2)], edges=[(0, 1), (1, 2)],
+        radii=[1, 1, 1],
+    )
+    src = tmp_path / "x.swc"
+    src.write_text(skel.to_swc())
+
+    result = runner.invoke(main, ["swc", "to", str(src), "--format", "tiff"])
+    assert result.exit_code == 0, result.output
+    try:
+        import tifffile  # noqa: F401
+
+        assert (tmp_path / "x.tiff").exists()
+    except ImportError:
+        assert "tifffile" in result.output
+        assert not (tmp_path / "x.tiff").exists()
+
+    result = runner.invoke(main, ["swc", "to", str(src), "--format", "bmp"])
+    assert "invalid format" in result.output
+
+
+def test_codecs_save_errors(tmp_path):
+    from kimimaro_tpu.cli import codecs
+
+    arr = np.zeros((4, 4, 4), dtype=np.uint8)
+    # npy + npy.gz round trip
+    codecs.save(str(tmp_path / "a.npy"), arr)
+    assert np.array_equal(codecs.load(str(tmp_path / "a.npy")), arr)
+    codecs.save(str(tmp_path / "a.npy.gz"), arr)
+    assert np.array_equal(codecs.load(str(tmp_path / "a.npy.gz")), arr)
+
+    # optional codecs absent here -> clear ImportError naming the package
+    for name, pkg in [("a.ckl", "crackle"), ("a.nrrd", "pynrrd"),
+                      ("a.nii", "nibabel"), ("a.tif", "tifffile")]:
+        try:
+            codecs.save(str(tmp_path / name), arr)
+        except ImportError as e:
+            assert pkg in str(e)
+        else:
+            pass  # codec available in this env: fine
+
+    with pytest.raises(ValueError):
+        codecs.save(str(tmp_path / "a.weird"), arr)
+
+
+def test_view_degrades_without_microviewer(tmp_path, runner):
+    # view must route any volume ext through the codecs loader and degrade
+    # with a message (microviewer and crackle absent here)
+    vol = tmp_path / "v.npy"
+    np.save(vol, np.zeros((3, 3, 3), np.uint8))
+    result = runner.invoke(main, ["view", str(vol)])
+    assert result.exit_code == 0
+    try:
+        import microviewer  # noqa: F401
+    except ImportError:
+        assert "microviewer" in result.output
