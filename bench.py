@@ -156,6 +156,21 @@ def main():
     labels_per_sec = n_labels / elapsed if elapsed > 0 else 0.0
     phases = {k: round(v, 3) for k, v in stats["phases"].items()}
 
+    # cross-section throughput on a representative skeleton (reference
+    # baseline: ~2.5 ms/vertex on Apple M3, utility.py:226-229)
+    xs_ms_per_vertex = None
+    try:
+        mid = sorted(skels.values(), key=lambda s: abs(len(s) - 800))[0]
+        t0 = time.perf_counter()
+        kimimaro_tpu.cross_sectional_area(
+            labels, {mid.id: mid}, anisotropy=(16, 16, 40), progress=False
+        )
+        dt = time.perf_counter() - t0
+        if len(mid.vertices):
+            xs_ms_per_vertex = round(1000.0 * dt / len(mid.vertices), 4)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": f"skeletonize {source} ({n_labels} labels) labels/sec",
         "value": round(labels_per_sec, 3),
@@ -166,6 +181,7 @@ def main():
         "n_labels": n_labels,
         "phases": phases,
         "counters": stats["counters"],
+        "xs_ms_per_vertex": xs_ms_per_vertex,
     }))
 
 
