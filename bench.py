@@ -39,22 +39,42 @@ def load_connectomics():
 def synthetic_volume_dense(n: int, seed: int = 0):
     """DENSE segmentation resembling the connectomics fixture: an
     anisotropic Voronoi partition with the same component density (2124
-    components at 512^3, every voxel labeled), generated on device with
-    the framework's own nearest-seed sweep kernel. This is the DEFAULT
+    components at 512^3, every voxel labeled). This is the DEFAULT
     workload when the crackle-compressed connectomics fixture can't be
     decoded (BENCH_SPARSE=1 selects the easier sparse-ellipsoid volume
-    instead)."""
-    import jax
-    import jax.numpy as jnp
-    from kimimaro_tpu.ops.geodesic import voronoi_feature_field
+    instead). Host-generated via KD-tree nearest seed (elongated
+    anisotropically so labels are neurite-like) and cached on disk —
+    the volume is benchmark INPUT, not part of the measured pipeline."""
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache", f"dense_{n}_{seed}.npy",
+    )
+    if os.path.exists(cache):
+        return np.load(cache)
+
+    from scipy.spatial import cKDTree
 
     rng = np.random.RandomState(seed)
     n_labels = max(2, int(round(2124 * (n / 512) ** 3)))
-    seeds = rng.randint(0, n, size=(n_labels, 3))
-
-    ok = jnp.ones((n, n, n), dtype=bool)
-    _, features = voronoi_feature_field(ok, seeds, (16.0, 16.0, 40.0))
-    return np.asarray(jax.device_get(features)).astype(np.uint32)
+    seeds = rng.randint(0, n, size=(n_labels, 3)).astype(np.float32)
+    # anisotropy (16,16,40): scale z so cells elongate along z like neurites
+    scale = np.array([16.0, 16.0, 40.0], dtype=np.float32)
+    tree = cKDTree(seeds * scale)
+    grid = np.stack(np.meshgrid(
+        np.arange(n, dtype=np.float32) * scale[0],
+        np.arange(n, dtype=np.float32) * scale[1],
+        np.arange(n, dtype=np.float32) * scale[2],
+        indexing="ij",
+    ), axis=-1).reshape(-1, 3)
+    labels = np.empty(n * n * n, dtype=np.uint32)
+    step = 1 << 22
+    for i in range(0, grid.shape[0], step):
+        _, idx = tree.query(grid[i:i + step], k=1)
+        labels[i:i + step] = idx.astype(np.uint32) + 1
+    labels = labels.reshape(n, n, n)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.save(cache, labels)
+    return labels
 
 
 def synthetic_volume(n: int, mean_label_voxels: int = 63000, seed: int = 0):
