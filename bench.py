@@ -69,7 +69,7 @@ def synthetic_volume_dense(n: int, seed: int = 0):
     labels = np.empty(n * n * n, dtype=np.uint32)
     step = 1 << 22
     for i in range(0, grid.shape[0], step):
-        _, idx = tree.query(grid[i:i + step], k=1)
+        _, idx = tree.query(grid[i:i + step], k=1, workers=-1)
         labels[i:i + step] = idx.astype(np.uint32) + 1
     labels = labels.reshape(n, n, n)
     os.makedirs(os.path.dirname(cache), exist_ok=True)
