@@ -13,6 +13,7 @@ from .intake import (
     synapses_to_targets,
 )
 from .post import join_close_components, postprocess
+from .carray import CompressedLabelVolume
 from .skeleton import Skeleton
 from .utility import extract_skeleton_from_binary_image, moving_average
 
@@ -22,6 +23,7 @@ __all__ = [
     "DEFAULT_TEASAR_PARAMS",
     "DimensionError",
     "Skeleton",
+    "CompressedLabelVolume",
     "connect_points",
     "cross_sectional_area",
     "cross_sectional_area_single",

@@ -1,0 +1,68 @@
+"""CompressedLabelVolume — the CrackleArray-capability container
+(reference utility.py:63-92, intake.py:459,528)."""
+
+import numpy as np
+
+import kimimaro_tpu
+from kimimaro_tpu.carray import CompressedLabelVolume
+
+
+def make_volume():
+    rng = np.random.RandomState(3)
+    labels = np.zeros((24, 20, 37), dtype=np.uint32)  # odd z: partial slab
+    labels[2:12, 3:9, 4:30] = 5
+    labels[14:22, 10:18, 8:20] = 9
+    labels[0:4, 14:19, 31:36] = 70000
+    return labels
+
+
+def test_roundtrip_and_slicing():
+    labels = make_volume()
+    cv = CompressedLabelVolume(labels, slab=8)
+    assert cv.shape == labels.shape
+    assert cv.nbytes_compressed < labels.nbytes / 4
+    assert np.array_equal(cv.to_numpy(), labels)
+    assert np.array_equal(np.asarray(cv), labels)
+    # arbitrary slices decompress only the slabs they touch
+    assert np.array_equal(cv[3:9, 4:7, 11:29], labels[3:9, 4:7, 11:29])
+    assert np.array_equal(cv[:, :, 36], labels[:, :, 36])
+    assert np.array_equal(cv[5], labels[5])
+
+
+def test_lazy_metadata():
+    labels = make_volume()
+    cv = CompressedLabelVolume(labels, slab=8)
+    counts = cv.voxel_counts()
+    for lab in (0, 5, 9, 70000):
+        assert counts[lab] == int((labels == lab).sum())
+    bbs = cv.bounding_boxes()
+    pos = np.argwhere(labels == 9)
+    assert np.array_equal(bbs[9][0], pos.min(axis=0))
+    assert np.array_equal(bbs[9][1], pos.max(axis=0))
+    assert set(cv.unique().tolist()) == {0, 5, 9, 70000}
+
+    mask, slc = cv.decompress(5)
+    assert mask.all() == (labels[slc] == 5).all()
+    assert np.array_equal(mask, labels[slc] == 5)
+
+
+def test_remap():
+    labels = make_volume()
+    cv = CompressedLabelVolume(labels, slab=8)
+    out = cv.remap({5: 1, 9: 2})
+    ref = labels.copy()
+    ref[labels == 5] = 1
+    ref[labels == 9] = 2
+    assert np.array_equal(out.to_numpy(), ref)
+
+
+def test_skeletonize_accepts_compressed():
+    labels = np.zeros((40, 24, 24), dtype=np.uint32)
+    labels[4:36, 8:16, 8:16] = 7
+    cv = CompressedLabelVolume(labels, slab=8)
+    a = kimimaro_tpu.skeletonize(labels, anisotropy=(1, 1, 1), dust_threshold=10)
+    b = kimimaro_tpu.skeletonize(cv, anisotropy=(1, 1, 1), dust_threshold=10)
+    assert set(a) == set(b) == {7}
+    va = set(map(tuple, a[7].vertices.round(3).tolist()))
+    vb = set(map(tuple, b[7].vertices.round(3).tolist()))
+    assert va == vb
