@@ -125,7 +125,7 @@ def cross_section_areas(
     verts,
     normals,
     anisotropy: Sequence[float] = (1, 1, 1),
-    batch: int = 16,
+    batch: int = 64,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host driver: evaluate many sectioning planes of one binary image.
 
@@ -140,6 +140,9 @@ def cross_section_areas(
 
     areas = np.zeros(n, dtype=np.float32)
     contacts = np.zeros(n, dtype=np.uint8)
+    # dispatch one batch ahead of each fetch so the device computes the
+    # next plane set while the previous results cross the tunnel
+    pending = None
     for i in range(0, n, batch):
         v = verts[i: i + batch]
         m = normals[i: i + batch]
@@ -147,9 +150,18 @@ def cross_section_areas(
         if pad:
             v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
             m = np.concatenate([m, np.tile([[1.0, 0, 0]], (pad, 1))])
-        a, c = _sections_batch(fg, jnp.asarray(v), jnp.asarray(m), anisotropy)
-        areas[i: i + batch] = np.asarray(a)[: batch - pad if pad else batch]
-        contacts[i: i + batch] = np.asarray(c)[: batch - pad if pad else batch]
+        out = _sections_batch(fg, jnp.asarray(v), jnp.asarray(m), anisotropy)
+        if pending is not None:
+            j, jpad, (pa, pc) = pending
+            take = batch - jpad if jpad else batch
+            areas[j: j + batch] = np.asarray(pa)[:take]
+            contacts[j: j + batch] = np.asarray(pc)[:take]
+        pending = (i, pad, out)
+    if pending is not None:
+        j, jpad, (pa, pc) = pending
+        take = batch - jpad if jpad else batch
+        areas[j: j + batch] = np.asarray(pa)[:take]
+        contacts[j: j + batch] = np.asarray(pc)[:take]
     return areas, contacts
 
 
