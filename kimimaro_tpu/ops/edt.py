@@ -144,16 +144,21 @@ def _banded_with_escalation(d, labels, wall, w: float, black_border: bool,
     band-completeness guarantee (D <= (band*w)^2) fails. Each escalation
     recomputes from the same pass input, so the result is exact."""
     band = min(16, n - 1)
-    while True:
-        out = _parabola_pass_banded(
-            d, labels, wall, w, black_border, band, has_wall
-        )
-        if band >= n - 1:
-            return out
-        thresh = (np.float32(w) * band) ** 2
-        if not bool(jnp.any(out > thresh)):
-            return out
-        band = min(band * 4, n - 1)
+    out = _parabola_pass_banded(d, labels, wall, w, black_border, band, has_wall)
+    if band >= n - 1:
+        return out
+    # single host sync: the banded result upper-bounds the true distance,
+    # so max(out) directly yields a SUFFICIENT band for one exact re-pass
+    thresh = (np.float32(w) * band) ** 2
+    max_out = float(jnp.max(out))
+    if max_out <= thresh:
+        return out
+    need = int(np.ceil(np.sqrt(max_out) / w)) + 1
+    band = 16
+    while band < need:  # power-of-two buckets bound the compile count
+        band <<= 1
+    band = min(band, n - 1)
+    return _parabola_pass_banded(d, labels, wall, w, black_border, band, has_wall)
 
 
 _AXIS_UNIT = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
