@@ -29,7 +29,27 @@ from .skeleton import Skeleton
 
 T_CAP = 16     # manual-target slots per lane (beyond -> host fallback)
 K_CAP = 64     # path rows per lane (overflow -> host fallback)
-B_LANES = 64   # lanes per kernel call
+B_LANES = 64   # max lanes per kernel call
+# Bound lanes x crop-voxels per launch: each live array in the fused trace
+# costs 4 B/voxel-lane and the while-loop keeps ~10 alive, so 32M voxel-lanes
+# ~= 1.3 GB of working set -- safely inside a v5e chip's HBM next to the
+# resident volume. Launches above this bound crash the TPU worker.
+MAX_VOXEL_LANES = 32 * 1024 * 1024
+import os as _os
+if _os.environ.get("KIMIMARO_TPU_MAX_VOXEL_LANES"):
+    MAX_VOXEL_LANES = int(_os.environ["KIMIMARO_TPU_MAX_VOXEL_LANES"])
+
+
+def _lanes_for(bshape: Tuple[int, int, int], n_jobs: int) -> int:
+    """Lane count for one launch: a power of two covering n_jobs, bounded
+    by B_LANES and by the per-launch voxel-lane budget."""
+    vox = int(np.prod(bshape))
+    b = max(1, min(B_LANES, MAX_VOXEL_LANES // max(vox, 1)))
+    # no padding waste: a 3-job bucket runs 4 lanes, not 64
+    p = 1
+    while p < min(b, n_jobs):
+        p <<= 1
+    return p
 
 
 # --------------------------------------------------------------------------- #
@@ -505,11 +525,24 @@ def trace_batched(
     def drain(pending):
         chunk, outs = pending
         paths, lens, n_paths, overflow, radii = outs
+        if debug:
+            try:
+                ms = jax.devices()[0].memory_stats() or {}
+                print(f"[engine] drain B={len(chunk)} "
+                      f"hbm={ms.get('bytes_in_use', 0)/1e9:.2f}GB "
+                      f"peak={ms.get('peak_bytes_in_use', 0)/1e9:.2f}GB",
+                      flush=True)
+            except Exception:
+                pass
         header = np.asarray(jax.device_get(jnp.stack(
             [n_paths.astype(jnp.int32),
              overflow.astype(jnp.int32),
              jnp.max(lens, axis=1).astype(jnp.int32)], axis=1
         )))
+        if debug:
+            print(f"[engine] header n_paths={header[:, 0].tolist()} "
+                  f"overflow={header[:, 1].tolist()} "
+                  f"max_len={header[:, 2].tolist()}", flush=True)
         max_n = int(header[:, 0].max()) if len(header) else 0
         max_l = int(header[:, 2].max()) if len(header) else 0
         if max_n > 0 and max_l > 0:
@@ -545,14 +578,27 @@ def trace_batched(
         disable=(not progress), desc="Skeletonizing Labels",
     )
 
+    import os
+    debug = os.environ.get("KIMIMARO_TPU_DEBUG_ENGINE", "") not in ("", "0")
+
     for bshape, group in sorted(buckets.items()):
         K = K_CAP
         L = max(int(2 * sum(bshape)), 64)
+        lanes = _lanes_for(bshape, len(group))
+        if debug:
+            try:
+                ms = jax.devices()[0].memory_stats() or {}
+                hbm = f" hbm={ms.get('bytes_in_use', 0)/1e9:.2f}GB" \
+                      f"/peak={ms.get('peak_bytes_in_use', 0)/1e9:.2f}GB"
+            except Exception:
+                hbm = ""
+            print(f"[engine] bucket {bshape} jobs={len(group)} K={K} L={L} "
+                  f"lanes={lanes}{hbm}", flush=True)
         # group similar-cost labels together to limit vmap stragglers
         group = sorted(group, key=lambda j: -int(np.prod(j["shape"])))
-        for i in range(0, len(group), B_LANES):
-            chunk = group[i: i + B_LANES]
-            B = B_LANES
+        for i in range(0, len(group), lanes):
+            chunk = group[i: i + lanes]
+            B = lanes
             lids = np.zeros(B, dtype=np.int32)
             offs = np.zeros((B, 3), dtype=np.int32)
             bef = np.full((B, T_CAP, 3), -1, dtype=np.int32)
