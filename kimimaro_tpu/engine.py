@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.fused_trace import _chase, _relax_fixpoint, INF
+from .ops.fused_trace import _chase, _relax_rounds, RELAX_ROUNDS, INF
 from .ops.geodesic import _sweep
 from .skeleton import Skeleton
 
@@ -56,9 +56,13 @@ def _lanes_for(bshape: Tuple[int, int, int], n_jobs: int) -> int:
 # In-kernel helpers
 
 
-def _crop_fill(fg, anisotropy):
+def _crop_fill(fg, anisotropy, rounds: int = 12):
     """Border-seeded background flood (6-connected) -> filled foreground.
-    Device form of fill_voids.fill (reference trace.py:108-110)."""
+    Device form of fill_voids.fill (reference trace.py:108-110).
+
+    Static-round sweeps + convergence flag (data-dependent while fixpoints
+    miscompile on TPU — see ops.fused_trace.RELAX_ROUNDS). Returns
+    (filled, converged)."""
     bg = ~fg
     border = jnp.zeros(fg.shape, dtype=bool)
     for axis in range(3):
@@ -89,17 +93,15 @@ def _crop_fill(fg, anisotropy):
                 d = sweep6(d, axis, direction)
         return d
 
-    def cond(s):
-        return s[1]
-
-    def body(s):
-        d, _ = s
-        nd = one_round(d)
-        return nd, jnp.any(nd != d)
-
-    d, _ = jax.lax.while_loop(cond, body, (jnp.where(bg, init, INF), True))
-    reached = jnp.isfinite(d)
-    return fg | (bg & ~reached)
+    d = jax.lax.fori_loop(
+        0, int(rounds), lambda _, dd: one_round(dd), jnp.where(bg, init, INF)
+    )
+    d2 = one_round(d)
+    reached = jnp.isfinite(d2)
+    # reachability-stall convergence: a full round with no newly reached
+    # voxel means no unreached voxel borders a reached one (sound for the
+    # flood; exact distance values are never consumed)
+    return fg | (bg & ~reached), jnp.all(reached == jnp.isfinite(d))
 
 
 _AXIS_UNIT = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
@@ -190,10 +192,12 @@ def _find_soma_root(dbf, dbf_max, shape):
     return jnp.stack(jnp.unravel_index(idx, shape)).astype(jnp.int32)
 
 
-def _euclid_field(fg, src, anisotropy, voxel_graph=None):
+def _euclid_field(fg, src, anisotropy, rounds, voxel_graph=None):
+    """Geodesic euclidean field from src. Returns (dist, converged)."""
     init = jnp.full(fg.shape, INF, dtype=jnp.float32)
     init = init.at[src[0], src[1], src[2]].set(0.0)
-    return _relax_fixpoint(init, fg, None, anisotropy, voxel_graph=voxel_graph)
+    return _relax_rounds(init, fg, None, anisotropy, rounds,
+                         voxel_graph=voxel_graph)
 
 
 # --------------------------------------------------------------------------- #
@@ -214,9 +218,15 @@ def _one_label(
     fix_branching: bool,
     has_vg: bool,
     K: int, L: int,
+    relax_rounds: int = RELAX_ROUNDS,
 ):
     shape = crop_shape
     anis = jnp.asarray(anisotropy, dtype=jnp.float32)
+    r_main = int(relax_rounds)
+    r_ball = max(4, r_main // 2)
+    r_warm = max(3, r_main // 3)
+    # bit per relaxation stage: 1=fill 2=probe 4=daf 8=rail 16=ball 32=warm
+    nc_bits = jnp.int32(0)
 
     off3 = (offset[0], offset[1], offset[2])
     lab = jax.lax.dynamic_slice(cc_full, off3, shape)
@@ -233,7 +243,7 @@ def _one_label(
     # --- soma detection: hole fill + re-EDT (reference trace.py:104-119)
     def refill(args):
         fg0, dbf0 = args
-        filled = _crop_fill(fg0, anisotropy)
+        filled, conv_f = _crop_fill(fg0, anisotropy, rounds=r_main)
         n_filled = jnp.sum(filled) - jnp.sum(fg0)
         bb = jnp.all(filled)
         dsq = _crop_edtsq_banded(filled.astype(jnp.uint8), anisotropy, bb, vg)
@@ -242,11 +252,14 @@ def _one_label(
         return (
             jnp.where(take, filled, fg0),
             jnp.where(take, dbf1, dbf0),
+            conv_f,
         )
 
-    fg, dbf = jax.lax.cond(
-        dbf_max > soma_detection_threshold, refill, lambda a: a, (fg, dbf)
+    fg, dbf, conv_f = jax.lax.cond(
+        dbf_max > soma_detection_threshold, refill,
+        lambda a: (a[0], a[1], jnp.bool_(True)), (fg, dbf)
     )
+    nc_bits = nc_bits | jnp.where(conv_f, 0, 1)
     dbf_max = jnp.max(dbf)
     soma_mode = dbf_max > soma_acceptance_threshold
     soma_radius = jnp.where(
@@ -259,7 +272,8 @@ def _one_label(
     soma_root = _find_soma_root(dbf, dbf_max, shape)
     first_idx = jnp.argmax(fg.ravel())
     first_vox = jnp.stack(jnp.unravel_index(first_idx, shape)).astype(jnp.int32)
-    d_probe = _euclid_field(fg, first_vox, anisotropy, vg)
+    d_probe, conv_p = _euclid_field(fg, first_vox, anisotropy, r_main, vg)
+    nc_bits = nc_bits | jnp.where(conv_p, 0, 2)
     auto_root = _masked_argmax_coords(
         jnp.where(jnp.isfinite(d_probe), d_probe, -INF), fg, shape
     )
@@ -269,7 +283,8 @@ def _one_label(
 
     # --- DAF + PDRF (reference trace.py:138-148,315-356)
     dbf_inf = jnp.where(dbf == 0, INF, dbf)
-    daf = _euclid_field(fg, root, anisotropy, vg)
+    daf, conv_d = _euclid_field(fg, root, anisotropy, r_main, vg)
+    nc_bits = nc_bits | jnp.where(conv_d, 0, 4)
     daf = jnp.where(jnp.isfinite(daf), daf, 0.0)
     daf_target = _masked_argmax_coords(daf, fg, shape)
     max_daf = daf[daf_target[0], daf_target[1], daf_target[2]]
@@ -294,11 +309,15 @@ def _one_label(
         init = jnp.full(shape, INF, dtype=jnp.float32)
         init = init.at[root[0], root[1], root[2]].set(-r)
         ok = valid.at[root[0], root[1], root[2]].set(True)
-        bd = _relax_fixpoint(init, ok, None, anisotropy, clamp_positive=True,
-                             voxel_graph=vg)
-        return valid & ~(bd <= 0.0)
+        bd, conv_s = _relax_rounds(init, ok, None, anisotropy, r_ball,
+                                   clamp_positive=True, voxel_graph=vg,
+                                   conv="negative")
+        return valid & ~(bd <= 0.0), conv_s
 
-    valid = jax.lax.cond(soma_mode, soma_ball, lambda v: v, valid)
+    valid, conv_s = jax.lax.cond(
+        soma_mode, soma_ball, lambda v: (v, jnp.bool_(True)), valid
+    )
+    nc_bits = nc_bits | jnp.where(conv_s, 0, 16)
     valid_count = jnp.sum(valid).astype(jnp.int32)
 
     # --- target bookkeeping: slot0 holds either the user root (soma mode:
@@ -325,18 +344,21 @@ def _one_label(
     pdrf = pdrf.at[root[0], root[1], root[2]].set(0.0)
     d0 = jnp.full(shape, INF, dtype=jnp.float32)
     d0 = d0.at[root[0], root[1], root[2]].set(0.0)
-    d_rail = _relax_fixpoint(d0, fg, pdrf, anisotropy, voxel_graph=vg)
+    d_rail, conv_r = _relax_rounds(d0, fg, pdrf, anisotropy, r_main,
+                                   voxel_graph=vg)
+    nc_bits = nc_bits | jnp.where(conv_r, 0, 8)
 
     paths0 = jnp.full((K, L, 3), -1, dtype=jnp.int32)
     lens0 = jnp.zeros((K,), dtype=jnp.int32)
 
     def cond(state):
-        (k, valid, vc, pdrf, d_rail, nb, na, paths, lens, ov) = state
+        (k, valid, vc, pdrf, d_rail, nb, na, paths, lens, ov, nc) = state
         work = (vc > 0) | (nb > 0) | (na > 0)
-        return work & (k < jnp.minimum(max_paths, K)) & (~ov) & (~blocked)
+        return (work & (k < jnp.minimum(max_paths, K)) & (~ov) & (nc == 0)
+                & (~blocked))
 
     def body(state):
-        (k, valid, vc, pdrf, d_rail, nb, na, paths, lens, ov) = state
+        (k, valid, vc, pdrf, d_rail, nb, na, paths, lens, ov, nc) = state
 
         use_before = nb > 0
         use_after = (~use_before) & (vc == 0)
@@ -367,30 +389,38 @@ def _one_label(
         ok_inv = valid.at[px, py, pz].set(True, mode="drop")
 
         def invalidate(_):
-            bd = _relax_fixpoint(init, ok_inv, None, anisotropy,
-                                 clamp_positive=True, voxel_graph=vg)
+            bd, conv_b = _relax_rounds(init, ok_inv, None, anisotropy, r_ball,
+                                       clamp_positive=True, voxel_graph=vg,
+                                       conv="negative")
             ball = bd <= 0.0
-            return valid & ~ball, vc - jnp.sum(ball & valid).astype(jnp.int32)
+            return (valid & ~ball,
+                    vc - jnp.sum(ball & valid).astype(jnp.int32), conv_b)
 
-        valid, vc = jax.lax.cond(vc > 0, invalidate, lambda _: (valid, vc), None)
+        valid, vc, conv_b = jax.lax.cond(
+            vc > 0, invalidate, lambda _: (valid, vc, jnp.bool_(True)), None
+        )
+        nc = nc | jnp.where(conv_b, 0, 16)
 
         if fix_branching:
             pdrf = pdrf.at[px, py, pz].set(0.0, mode="drop")
             d_rail = d_rail.at[px, py, pz].set(0.0, mode="drop")
-            d_rail = _relax_fixpoint(d_rail, fg, pdrf, anisotropy,
-                                     voxel_graph=vg)
+            d_rail, conv_w = _relax_rounds(d_rail, fg, pdrf, anisotropy,
+                                           r_warm, voxel_graph=vg)
+            nc = nc | jnp.where(conv_w, 0, 32)
 
         paths = paths.at[k].set(path)
         lens = lens.at[k].set(plen)
-        return (k + 1, valid, vc, pdrf, d_rail, nb, na, paths, lens, ov)
+        return (k + 1, valid, vc, pdrf, d_rail, nb, na, paths, lens, ov, nc)
 
     state = (jnp.int32(0), valid, valid_count, pdrf, d_rail, nb0, na0,
-             paths0, lens0, jnp.bool_(False))
+             paths0, lens0, jnp.bool_(False),
+             jnp.where(lane_active, nc_bits, 0))
     state = jax.lax.while_loop(cond, body, state)
-    (k, valid, vc, pdrf, d_rail, nb, na, paths, lens, ov) = state
+    (k, valid, vc, pdrf, d_rail, nb, na, paths, lens, ov, nc) = state
 
     work_left = (vc > 0) | (nb > 0) | (na > 0)
-    ov = ov | (work_left & (k >= K) & (k < max_paths) & (~blocked))
+    ov = ov | (work_left & (k >= K) & (k < max_paths) & (~blocked)
+               & (nc == 0))
 
     # radii at path vertices from the (possibly refilled) DBF
     prx = paths.reshape(-1, 3)
@@ -398,14 +428,14 @@ def _one_label(
         mode="fill", fill_value=0.0
     ).reshape(K, L)
 
-    return paths.astype(jnp.int16), lens, k, ov, radii
+    return paths.astype(jnp.int16), lens, k, ov, nc, radii
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "crop_shape", "anisotropy", "pdrf_exponent", "fix_branching",
-        "has_vg", "K", "L",
+        "has_vg", "K", "L", "relax_rounds",
     ),
 )
 def batched_trace_kernel(
@@ -423,6 +453,7 @@ def batched_trace_kernel(
     has_vg: bool,
     K: int,
     L: int,
+    relax_rounds: int = RELAX_ROUNDS,
 ):
     """vmap of the full per-label trace over a batch of labels. The full
     cc/dbf volumes are broadcast (device-resident); every lane slices its
@@ -431,7 +462,7 @@ def batched_trace_kernel(
         _one_label,
         crop_shape=crop_shape, anisotropy=anisotropy,
         pdrf_exponent=pdrf_exponent, fix_branching=fix_branching,
-        has_vg=has_vg, K=K, L=L,
+        has_vg=has_vg, K=K, L=L, relax_rounds=relax_rounds,
     )
     return jax.vmap(
         lambda lid, off, b, nb, a, na, r, hr, mp: fn(
@@ -517,59 +548,8 @@ def trace_batched(
 
     results: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
 
-    # dispatch one batch ahead of each fetch so transfer latency overlaps
-    # with the next batch's device time (the tunnel's d2h roundtrip is the
-    # scarce resource)
-    pending = None
-
-    def drain(pending):
-        chunk, outs = pending
-        paths, lens, n_paths, overflow, radii = outs
-        if debug:
-            try:
-                ms = jax.devices()[0].memory_stats() or {}
-                print(f"[engine] drain B={len(chunk)} "
-                      f"hbm={ms.get('bytes_in_use', 0)/1e9:.2f}GB "
-                      f"peak={ms.get('peak_bytes_in_use', 0)/1e9:.2f}GB",
-                      flush=True)
-            except Exception:
-                pass
-        header = np.asarray(jax.device_get(jnp.stack(
-            [n_paths.astype(jnp.int32),
-             overflow.astype(jnp.int32),
-             jnp.max(lens, axis=1).astype(jnp.int32)], axis=1
-        )))
-        if debug:
-            print(f"[engine] header n_paths={header[:, 0].tolist()} "
-                  f"overflow={header[:, 1].tolist()} "
-                  f"max_len={header[:, 2].tolist()}", flush=True)
-        max_n = int(header[:, 0].max()) if len(header) else 0
-        max_l = int(header[:, 2].max()) if len(header) else 0
-        if max_n > 0 and max_l > 0:
-            paths_np, radii_np = jax.device_get(
-                (paths[:, :max_n, :max_l], radii[:, :max_n, :max_l])
-            )
-        else:
-            paths_np = np.zeros((len(chunk), 0, 0, 3), np.int16)
-            radii_np = np.zeros((len(chunk), 0, 0), np.float32)
-
-        for j, job in enumerate(chunk):
-            if header[j, 1]:  # overflow -> host fallback
-                fallback.append(job)
-                continue
-            n = int(header[j, 0])
-            out = []
-            for kk in range(n):
-                row = paths_np[j, kk].astype(np.int64)
-                rad = radii_np[j, kk]
-                m = row[:, 0] >= 0
-                row, rad = row[m], rad[m]
-                # device rows run target->rail; reference rail-first
-                row, rad = row[::-1], rad[::-1]
-                # translate crop frame -> the job's bbox frame
-                row = row + (job["crop_off"] - np.asarray(job["offset"]))
-                out.append((row, rad))
-            results[job["segid"]] = out
+    import os
+    debug = os.environ.get("KIMIMARO_TPU_DEBUG_ENGINE", "") not in ("", "0")
 
     from tqdm import tqdm
 
@@ -578,78 +558,158 @@ def trace_batched(
         disable=(not progress), desc="Skeletonizing Labels",
     )
 
-    import os
-    debug = os.environ.get("KIMIMARO_TPU_DEBUG_ENGINE", "") not in ("", "0")
+    def run_pass(pass_buckets, relax_rounds):
+        """Dispatch every bucket at the given static relax_rounds; jobs
+        whose lane flags non-convergence are returned for escalation.
+        Dispatches one batch ahead of each fetch so transfer latency
+        overlaps the next batch's device time (the tunnel's d2h roundtrip
+        is the scarce resource)."""
+        retry: List[dict] = []
+        pending = None
 
-    for bshape, group in sorted(buckets.items()):
-        K = K_CAP
-        L = max(int(2 * sum(bshape)), 64)
-        lanes = _lanes_for(bshape, len(group))
-        if debug:
-            try:
-                ms = jax.devices()[0].memory_stats() or {}
-                hbm = f" hbm={ms.get('bytes_in_use', 0)/1e9:.2f}GB" \
-                      f"/peak={ms.get('peak_bytes_in_use', 0)/1e9:.2f}GB"
-            except Exception:
-                hbm = ""
-            print(f"[engine] bucket {bshape} jobs={len(group)} K={K} L={L} "
-                  f"lanes={lanes}{hbm}", flush=True)
-        # group similar-cost labels together to limit vmap stragglers
-        group = sorted(group, key=lambda j: -int(np.prod(j["shape"])))
-        for i in range(0, len(group), lanes):
-            chunk = group[i: i + lanes]
-            B = lanes
-            lids = np.zeros(B, dtype=np.int32)
-            offs = np.zeros((B, 3), dtype=np.int32)
-            bef = np.full((B, T_CAP, 3), -1, dtype=np.int32)
-            nbef = np.zeros(B, dtype=np.int32)
-            aft = np.full((B, T_CAP, 3), -1, dtype=np.int32)
-            naft = np.zeros(B, dtype=np.int32)
-            roots = np.zeros((B, 3), dtype=np.int32)
-            has_root = np.zeros(B, dtype=bool)
-            mp = np.full(B, -1, dtype=np.int32)
+        def drain(pending):
+            chunk, outs = pending
+            paths, lens, n_paths, overflow, nonconv, radii = outs
+            header = np.asarray(jax.device_get(jnp.stack(
+                [n_paths.astype(jnp.int32),
+                 overflow.astype(jnp.int32),
+                 nonconv.astype(jnp.int32),
+                 jnp.max(lens, axis=1).astype(jnp.int32)], axis=1
+            )))
+            if debug:
+                print(f"[engine] drain B={len(chunk)} "
+                      f"n_paths={header[:, 0].tolist()} "
+                      f"ov={header[:, 1].tolist()} "
+                      f"nc={header[:, 2].tolist()}", flush=True)
+            max_n = int(header[:, 0].max()) if len(header) else 0
+            max_l = int(header[:, 3].max()) if len(header) else 0
+            if max_n > 0 and max_l > 0:
+                paths_np, radii_np = jax.device_get(
+                    (paths[:, :max_n, :max_l], radii[:, :max_n, :max_l])
+                )
+            else:
+                paths_np = np.zeros((len(chunk), 0, 0, 3), np.int16)
+                radii_np = np.zeros((len(chunk), 0, 0), np.float32)
 
+            done = 0
             for j, job in enumerate(chunk):
-                lids[j] = job["segid"]
-                offs[j] = job["crop_off"]
-                # targets/roots arrive in the job's bbox frame; the device
-                # crop starts at crop_off (clamped padding), so shift them
-                shift = np.asarray(job["offset"]) - job["crop_off"]
-                for t_i, t in enumerate(job["before"]):
-                    bef[j, t_i] = np.asarray(t) + shift
-                nbef[j] = len(job["before"])
-                for t_i, t in enumerate(job["after"]):
-                    aft[j, t_i] = np.asarray(t) + shift
-                naft[j] = len(job["after"])
-                if job.get("root") is not None:
-                    roots[j] = np.asarray(job["root"]) + shift
-                    has_root[j] = True
-                if max_paths is not None:
-                    mp[j] = int(max_paths)
+                if header[j, 2]:  # unconverged relaxation -> escalate
+                    retry.append(job)
+                    continue
+                if header[j, 1]:  # capacity overflow -> host fallback
+                    fallback.append(job)
+                    done += 1
+                    continue
+                done += 1
+                n = int(header[j, 0])
+                out = []
+                for kk in range(n):
+                    row = paths_np[j, kk].astype(np.int64)
+                    rad = radii_np[j, kk]
+                    m = row[:, 0] >= 0
+                    row, rad = row[m], rad[m]
+                    # device rows run target->rail; reference rail-first
+                    row, rad = row[::-1], rad[::-1]
+                    # translate crop frame -> the job's bbox frame
+                    row = row + (job["crop_off"] - np.asarray(job["offset"]))
+                    out.append((row, rad))
+                results[job["segid"]] = out
+            pbar.update(done)
 
-            outs = batched_trace_kernel(
-                cc_dev, dbf_dev, vg_full,
-                jnp.asarray(lids), jnp.asarray(offs),
-                jnp.asarray(bef), jnp.asarray(nbef),
-                jnp.asarray(aft), jnp.asarray(naft),
-                jnp.asarray(roots), jnp.asarray(has_root), jnp.asarray(mp),
-                jnp.float32(scale), jnp.float32(const),
-                jnp.float32(sdt), jnp.float32(sat),
-                jnp.float32(sis), jnp.float32(sic),
-                jnp.float32(pdrf_scale),
-                crop_shape=bshape, anisotropy=anis,
-                pdrf_exponent=pdrf_exponent, fix_branching=bool(fix_branching),
-                has_vg=has_vg, K=K, L=L,
+        for bshape, group in sorted(pass_buckets.items()):
+            K = K_CAP
+            L = max(int(2 * sum(bshape)), 64)
+            lanes = _lanes_for(bshape, len(group))
+            if debug:
+                print(f"[engine] bucket {bshape} jobs={len(group)} K={K} "
+                      f"L={L} lanes={lanes} rounds={relax_rounds}", flush=True)
+            # group similar-cost labels together to limit vmap stragglers
+            group = sorted(group, key=lambda j: -int(np.prod(j["shape"])))
+            for i in range(0, len(group), lanes):
+                chunk = group[i: i + lanes]
+                B = lanes
+                lids = np.zeros(B, dtype=np.int32)
+                offs = np.zeros((B, 3), dtype=np.int32)
+                bef = np.full((B, T_CAP, 3), -1, dtype=np.int32)
+                nbef = np.zeros(B, dtype=np.int32)
+                aft = np.full((B, T_CAP, 3), -1, dtype=np.int32)
+                naft = np.zeros(B, dtype=np.int32)
+                roots = np.zeros((B, 3), dtype=np.int32)
+                has_root = np.zeros(B, dtype=bool)
+                mp = np.full(B, -1, dtype=np.int32)
+
+                for j, job in enumerate(chunk):
+                    lids[j] = job["segid"]
+                    offs[j] = job["crop_off"]
+                    # targets/roots arrive in the job's bbox frame; the
+                    # device crop starts at crop_off (clamped padding), so
+                    # shift them
+                    shift = np.asarray(job["offset"]) - job["crop_off"]
+                    for t_i, t in enumerate(job["before"]):
+                        bef[j, t_i] = np.asarray(t) + shift
+                    nbef[j] = len(job["before"])
+                    for t_i, t in enumerate(job["after"]):
+                        aft[j, t_i] = np.asarray(t) + shift
+                    naft[j] = len(job["after"])
+                    if job.get("root") is not None:
+                        roots[j] = np.asarray(job["root"]) + shift
+                        has_root[j] = True
+                    if max_paths is not None:
+                        mp[j] = int(max_paths)
+
+                outs = batched_trace_kernel(
+                    cc_dev, dbf_dev, vg_full,
+                    jnp.asarray(lids), jnp.asarray(offs),
+                    jnp.asarray(bef), jnp.asarray(nbef),
+                    jnp.asarray(aft), jnp.asarray(naft),
+                    jnp.asarray(roots), jnp.asarray(has_root),
+                    jnp.asarray(mp),
+                    jnp.float32(scale), jnp.float32(const),
+                    jnp.float32(sdt), jnp.float32(sat),
+                    jnp.float32(sis), jnp.float32(sic),
+                    jnp.float32(pdrf_scale),
+                    crop_shape=bshape, anisotropy=anis,
+                    pdrf_exponent=pdrf_exponent,
+                    fix_branching=bool(fix_branching),
+                    has_vg=has_vg, K=K, L=L, relax_rounds=relax_rounds,
+                )
+                if pending is not None:
+                    drain(pending)
+                pending = (chunk, outs)
+
+        if pending is not None:
+            drain(pending)
+        return retry
+
+    # escalation ladder: unconverged lanes re-run with doubled sweep
+    # rounds; jobs still unconverged after the ladder take the host path
+    todo = buckets
+    n_retried = 0
+    for mult in (1, 2, 4):
+        retry = run_pass(todo, RELAX_ROUNDS * mult)
+        if not retry:
+            todo = {}
+            break
+        n_retried += len(retry)
+        todo = {}
+        for job in retry:
+            bshape = tuple(
+                min(_bucket_dim(int(sd)), int(vs))
+                for sd, vs in zip(job["shape"], vol_shape)
             )
-            if pending is not None:
-                drain(pending)
-                pbar.update(len(pending[0]))
-            pending = (chunk, outs)
+            todo.setdefault(bshape, []).append(job)
+    else:
+        leftovers = [j for g in todo.values() for j in g]
+        fallback.extend(leftovers)
+        pbar.update(len(leftovers))
+        todo = {}
 
-    if pending is not None:
-        drain(pending)
-        pbar.update(len(pending[0]))
     pbar.close()
+    try:
+        from .utils import profiling
+        profiling.count("relax_retries", n_retried)
+    except Exception:
+        pass
 
     return results, fallback
 

@@ -34,21 +34,25 @@ def _plane_offsets_ccl(axis, direction):
     return [o for o in OFFSETS26 if o[axis] == -direction]
 
 
-@functools.partial(jax.jit, static_argnames=("has_vg",))
-def _ccl_fixpoint(labels, voxel_graph, has_vg: bool = False):
+@functools.partial(jax.jit, static_argnames=("has_vg", "phase", "rounds"))
+def _ccl_stage(ids0, labels, voxel_graph, has_vg: bool = False,
+               phase: int = 1, rounds: int = 6):
     """Min-id propagation by directional plane sweeps (the same schedule as
     the SSSP engine): a sweep along +x carries ids across the whole volume
     along any x-monotone same-label path in one pass, so rounds scale with
     the number of direction reversals of components, not their diameter.
-    One pointer-jump per round collapses id chains. No per-voxel gathers in
+    Pointer jumps (phase 2) collapse id chains. No per-voxel gathers in
     the sweeps — this is the TPU-friendly form of label-propagation CCL.
+
+    STATIC trip counts + a host-checked convergence flag (data-dependent
+    while fixpoints miscompile on TPU; see ops.geodesic._relax_stage).
+    phase 1: `rounds` pure sweep rounds. phase 2: `rounds` x (two sweep
+    rounds + pointer jump) for long winding components. Returns
+    (ids, converged).
 
     voxel_graph (has_vg=True): cc3d-convention bitfield masking adjacency —
     the color_connectivity_graph analogue for self-touching labels."""
     fg = labels != 0
-    n = labels.size
-    lin = jnp.arange(1, n + 1, dtype=jnp.int32).reshape(labels.shape)
-    ids0 = jnp.where(fg, lin, _BIGID)
 
     def sweep(ids, axis, direction):
         m = ids.shape[axis]
@@ -101,36 +105,15 @@ def _ccl_fixpoint(labels, voxel_graph, has_vg: bool = False):
                 ids = sweep(ids, axis, direction)
         return ids
 
-    # phase 1: pure sweep rounds — no gathers at all. Most volumes
-    # converge here (rounds = number of direction reversals of components).
-    def body1(state):
-        ids, _, i = state
-        new = sweep_round(ids)
-        return new, jnp.any(new != ids), i + 1
+    if phase == 1:
+        step = sweep_round
+    else:
+        def step(ids):
+            return jump(sweep_round(sweep_round(ids)))
 
-    def cond1(state):
-        _, changed, i = state
-        return jnp.logical_and(changed, i < 6)
-
-    ids, changed, _ = jax.lax.while_loop(
-        cond1, body1, (ids0, jnp.bool_(True), 0)
-    )
-
-    # phase 2: long winding components still unconverged — accelerate with
-    # pointer jumping (a full-volume random gather, the slowest primitive
-    # on TPU, so it only runs when sweeps alone stall)
-    def body2(state):
-        ids, _, i = state
-        new = sweep_round(sweep_round(ids))
-        new = jump(new)
-        return new, jnp.any(new != ids), i + 1
-
-    def cond2(state):
-        _, changed, i = state
-        return jnp.logical_and(changed, i < 512)
-
-    ids, _, _ = jax.lax.while_loop(cond2, body2, (ids, changed, 0))
-    return jnp.where(fg, ids, 0)
+    ids = jax.lax.fori_loop(0, int(rounds), lambda _, ii: step(ii), ids0)
+    ids2 = step(ids)
+    return ids2, jnp.all(ids2 == ids)
 
 
 def connected_components(labels, voxel_graph=None) -> jnp.ndarray:
@@ -147,7 +130,24 @@ def connected_components(labels, voxel_graph=None) -> jnp.ndarray:
         if voxel_graph is None
         else jnp.asarray(voxel_graph).astype(jnp.uint32)
     )
-    return _ccl_fixpoint(labels, vg, has_vg=voxel_graph is not None)
+    has_vg = voxel_graph is not None
+    fg = labels != 0
+    n = labels.size
+    lin = jnp.arange(1, n + 1, dtype=jnp.int32).reshape(labels.shape)
+    ids = jnp.where(fg, lin, _BIGID)
+
+    # phase 1: pure sweep rounds — no gathers at all. Most volumes
+    # converge here (rounds = number of direction reversals of components).
+    ids, conv = _ccl_stage(ids, labels, vg, has_vg=has_vg, phase=1, rounds=5)
+    # phase 2 (escalating): long winding components still unconverged —
+    # accelerate with pointer jumping (a full-volume random gather, the
+    # slowest primitive on TPU, so it only runs when sweeps alone stall)
+    r = 2
+    while not bool(conv):
+        ids, conv = _ccl_stage(ids, labels, vg, has_vg=has_vg, phase=2,
+                               rounds=r)
+        r = min(r * 2, 64)
+    return jnp.where(fg, ids, 0)
 
 
 @jax.jit

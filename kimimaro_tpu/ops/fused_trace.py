@@ -35,9 +35,35 @@ from .stencils import offset_costs
 INF = np.float32(np.inf)
 
 
-def _relax_fixpoint(d, ok, nc, anisotropy, clamp_positive=False,
-                    voxel_graph=None):
-    """Relax to fixpoint with the 6 directional plane sweeps.
+# Default static sweep-round counts. Rounds needed = number of "bends" in
+# the worst geodesic; compact shapes converge in a handful. Unconverged
+# lanes are FLAGGED (not silently wrong) and escalated by the caller.
+#
+# NB: these loops were originally `lax.while_loop(any(nd != d))` fixpoints.
+# On TPU (axon) that program miscompiles: standalone it hangs the worker,
+# and under vmap with B >= 8 lanes the loop exits early, leaving the field
+# unconverged (observed: every lane's rail chase then wanders for the full
+# path buffer). Static-trip-count fori_loop + an explicit convergence
+# check compiles correctly everywhere and is also kinder to the scheduler.
+RELAX_ROUNDS = 12
+
+
+def _relax_rounds(d, ok, nc, anisotropy, rounds: int, clamp_positive=False,
+                  voxel_graph=None, conv: str = "exact"):
+    """Run `rounds` full 6-sweep rounds (static trip count) plus one
+    checking round. Returns (d, converged: bool scalar).
+
+    conv — the convergence criterion, matched to what the caller consumes:
+      "exact":    d2 == d everywhere (full value fixpoint).
+      "reach":    the finite set stalled. Sound for reachability consumers:
+                  an INF voxel next to any finite voxel becomes finite the
+                  very next round, so a full no-growth round means no INF
+                  voxel has a finite neighbor -> stable forever.
+      "negative": the <= 0 set and its values stalled. Sound for
+                  clamp_positive ball consumers: positives are clamped to
+                  INF, so candidates derive solely from the negative set;
+                  if that set and its values repeat, so does every future
+                  round.
 
     Always the scan form (pallas=False): this runs inside vmapped engine
     kernels, where the Pallas grid would serialize the batch dimension.
@@ -53,17 +79,28 @@ def _relax_fixpoint(d, ok, nc, anisotropy, clamp_positive=False,
                            pallas=False)
         return d
 
-    def cond(state):
-        _, changed = state
-        return changed
+    d = jax.lax.fori_loop(0, int(rounds), lambda _, dd: one_round(dd), d)
+    d2 = one_round(d)
+    # the checking round is also a relaxing round (free progress); NaN
+    # anywhere reads as unconverged -> flagged.
+    if conv == "reach":
+        ok_conv = jnp.all(jnp.isfinite(d2) == jnp.isfinite(d))
+    elif conv == "negative":
+        ok_conv = jnp.all(
+            jnp.where(d2 <= 0, d2, INF) == jnp.where(d <= 0, d, INF)
+        )
+    else:
+        ok_conv = jnp.all(d2 == d)
+    return d2, ok_conv
 
-    def body(state):
-        d, _ = state
-        nd = one_round(d)
-        return nd, jnp.any(nd != d)
 
-    d, _ = jax.lax.while_loop(cond, body, (d, jnp.bool_(True)))
-    return d
+def _relax_fixpoint(d, ok, nc, anisotropy, clamp_positive=False,
+                    voxel_graph=None, rounds: int = RELAX_ROUNDS):
+    """Bounded-round relaxation, discarding the convergence flag (callers
+    that track convergence use _relax_rounds directly)."""
+    out, _ = _relax_rounds(d, ok, nc, anisotropy, rounds, clamp_positive,
+                           voxel_graph)
+    return out
 
 
 # bit index authorizing a downhill chase step cur -> cur+o for each 3x3x3
@@ -129,7 +166,7 @@ def _chase(d_pad, start, max_len: int, vg_pad=None):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "anisotropy", "fix_branching", "soma_mode", "K", "L",
+        "anisotropy", "fix_branching", "soma_mode", "K", "L", "relax_rounds",
     ),
 )
 def fused_path_loop(
@@ -152,19 +189,25 @@ def fused_path_loop(
     soma_mode: bool,
     K: int,
     L: int,
+    relax_rounds: int = RELAX_ROUNDS,
 ):
     """Run the whole TEASAR path loop on device.
 
     Returns (paths (K,L,3) int32 -1-padded, path_lens (K,), n_paths,
-    overflow flag)."""
+    overflow flag). Non-convergence of any internal relaxation (bounded
+    static rounds) is folded into the overflow flag -> caller escalates.
+    """
     shape = fg.shape
     anis = jnp.asarray(anisotropy, dtype=jnp.float32)
+    r_main = int(relax_rounds)
+    r_ball = max(4, r_main // 2)
+    r_warm = max(3, r_main // 3)
 
     # initial rail = root
     pdrf = pdrf.at[root[0], root[1], root[2]].set(0.0)
     d0 = jnp.full(shape, INF, dtype=jnp.float32)
     d0 = d0.at[root[0], root[1], root[2]].set(0.0)
-    d_rail = _relax_fixpoint(d0, fg, pdrf, anisotropy)
+    d_rail, conv0 = _relax_rounds(d0, fg, pdrf, anisotropy, r_main)
 
     valid_count = jnp.sum(valid).astype(jnp.int32)
 
@@ -218,20 +261,25 @@ def fused_path_loop(
         # sources themselves
         ok_inv = valid.at[px, py, pz].set(True, mode="drop")
         def invalidate(_):
-            ball_d = _relax_fixpoint(init, ok_inv, None, anisotropy,
-                                     clamp_positive=True)
+            ball_d, conv_b = _relax_rounds(init, ok_inv, None, anisotropy,
+                                           r_ball, clamp_positive=True,
+                                           conv="negative")
             ball = ball_d <= 0.0
             n_inv = jnp.sum(ball & valid).astype(jnp.int32)
-            return valid & ~ball, valid_count - n_inv
-        valid, valid_count = jax.lax.cond(
-            valid_count > 0, invalidate, lambda _: (valid, valid_count), None
+            return valid & ~ball, valid_count - n_inv, conv_b
+        valid, valid_count, conv_b = jax.lax.cond(
+            valid_count > 0, invalidate,
+            lambda _: (valid, valid_count, jnp.bool_(True)), None
         )
+        overflow = overflow | (~conv_b)
 
         # --- new rails (reference trace.py:261-263)
         if fix_branching:
             pdrf = pdrf.at[px, py, pz].set(0.0, mode="drop")
             d_rail = d_rail.at[px, py, pz].set(0.0, mode="drop")
-            d_rail = _relax_fixpoint(d_rail, fg, pdrf, anisotropy)
+            d_rail, conv_w = _relax_rounds(d_rail, fg, pdrf, anisotropy,
+                                           r_warm)
+            overflow = overflow | (~conv_w)
 
         paths = paths.at[k].set(path)
         lens = lens.at[k].set(plen)
@@ -240,7 +288,7 @@ def fused_path_loop(
 
     state = (jnp.int32(0), valid, valid_count, pdrf, d_rail,
              n_before.astype(jnp.int32), n_after.astype(jnp.int32),
-             paths0, lens0, jnp.bool_(False))
+             paths0, lens0, ~conv0)
     state = jax.lax.while_loop(cond, body, state)
     (k, valid, valid_count, pdrf, d_rail, nb, na, paths, lens, overflow) = state
 

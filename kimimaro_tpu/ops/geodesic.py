@@ -171,10 +171,11 @@ def _sweep(dist, ok, node_cost, axis, direction, anisotropy, clamp_positive,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "anisotropy", "node_mode", "clamp_positive", "max_rounds", "has_vg",
+        "anisotropy", "node_mode", "clamp_positive", "rounds", "has_vg",
+        "conv",
     ),
 )
-def _fixpoint_distance(
+def _relax_stage(
     init_dist,
     ok,
     node_cost,
@@ -182,9 +183,18 @@ def _fixpoint_distance(
     anisotropy: Tuple[float, float, float],
     node_mode: bool,
     clamp_positive: bool,
-    max_rounds: int,
+    rounds: int,
     has_vg: bool = False,
+    conv: str = "exact",
 ):
+    """`rounds` full 6-sweep rounds with a STATIC trip count, plus one
+    checking round. Returns (dist, converged).
+
+    NB deliberately not a `while(any(nd != d))` fixpoint: that program
+    miscompiles on TPU (hangs the worker standalone; exits early under
+    vmap with >= 8 lanes). Static fori_loop + explicit convergence check
+    is correct everywhere; callers escalate unconverged results.
+    """
     nc = node_cost if node_mode else None
     vg = voxel_graph if has_vg else None
 
@@ -195,19 +205,21 @@ def _fixpoint_distance(
                            clamp_positive, voxel_graph=vg)
         return d
 
-    def cond(state):
-        d, prev_changed, i = state
-        return jnp.logical_and(prev_changed, i < max_rounds)
-
-    def body(state):
-        d, _, i = state
-        nd = one_round(d)
-        changed = jnp.any(nd != d)
-        return nd, changed, i + 1
-
-    dist0 = jnp.where(ok, init_dist, INF)
-    dist, _, _ = jax.lax.while_loop(cond, body, (dist0, jnp.bool_(True), 0))
-    return dist
+    d = jax.lax.fori_loop(
+        0, int(rounds), lambda _, dd: one_round(dd), init_dist
+    )
+    d2 = one_round(d)
+    # criterion matched to the consumed quantity (see
+    # ops.fused_trace._relax_rounds for the soundness arguments)
+    if conv == "reach":
+        ok_conv = jnp.all(jnp.isfinite(d2) == jnp.isfinite(d))
+    elif conv == "negative":
+        ok_conv = jnp.all(
+            jnp.where(d2 <= 0, d2, INF) == jnp.where(d <= 0, d, INF)
+        )
+    else:
+        ok_conv = jnp.all(d2 == d)
+    return d2, ok_conv
 
 
 def distance_field(
@@ -218,6 +230,8 @@ def distance_field(
     clamp_positive: bool = False,
     max_rounds: int = 4096,
     voxel_graph=None,
+    rounds: Optional[int] = None,
+    conv: str = "exact",
 ) -> jnp.ndarray:
     """Exact SSSP distance field to fixpoint.
 
@@ -229,6 +243,10 @@ def distance_field(
     clamp_positive: values > 0 are reset to +inf each sweep — used by the
       invalidation ball so the expansion halts at the radius boundary.
     voxel_graph: optional cc3d-convention connectivity bitfield.
+    rounds: if given, run exactly that many bounded rounds WITHOUT host
+      synchronization (jit-safe; result may be unconverged — only for
+      traced callers that escalate themselves). Default: host-driven
+      warm-restart escalation to the exact fixpoint (up to max_rounds).
     """
     ok = jnp.asarray(ok_mask, dtype=bool)
     init = jnp.asarray(init_dist, dtype=jnp.float32)
@@ -242,17 +260,29 @@ def distance_field(
         if voxel_graph is None
         else jnp.asarray(voxel_graph).astype(jnp.uint32)
     )
-    return _fixpoint_distance(
-        init,
-        ok,
-        nc,
-        vg,
-        tuple(float(a) for a in anisotropy),
-        node_cost is not None,
-        bool(clamp_positive),
-        int(max_rounds),
-        has_vg=voxel_graph is not None,
-    )
+    anis = tuple(float(a) for a in anisotropy)
+    node_mode = node_cost is not None
+    has_vg = voxel_graph is not None
+    d = jnp.where(ok, init, INF)
+
+    if rounds is not None:
+        d, _ = _relax_stage(d, ok, nc, vg, anis, node_mode,
+                            bool(clamp_positive), int(rounds), has_vg=has_vg,
+                            conv=conv)
+        return d
+
+    # host-driven escalation: monotone min-plus relaxation warm-restarts
+    # exactly, so each stage continues from the previous field
+    done, r = 0, 12
+    while done < int(max_rounds):
+        d, cflag = _relax_stage(d, ok, nc, vg, anis, node_mode,
+                                bool(clamp_positive), r, has_vg=has_vg,
+                                conv=conv)
+        done += r + 1
+        if bool(cflag):
+            break
+        r = min(r * 2, 256)
+    return d
 
 
 def euclidean_distance_field(
@@ -375,13 +405,14 @@ def invalidation_ball(
     # (the C++ seeds the heap before checking labels)
     ok = ok.at[pv[:, 0], pv[:, 1], pv[:, 2]].set(True)
     dist = distance_field(
-        ok, init, anisotropy, clamp_positive=True, voxel_graph=voxel_graph
+        ok, init, anisotropy, clamp_positive=True, voxel_graph=voxel_graph,
+        conv="negative",
     )
     return dist <= 0.0
 
 
-@functools.partial(jax.jit, static_argnames=("anisotropy", "max_rounds"))
-def _voronoi_fixpoint(init_dist, init_feat, ok, anisotropy, max_rounds: int):
+@functools.partial(jax.jit, static_argnames=("anisotropy", "rounds"))
+def _voronoi_stage(init_dist, init_feat, ok, anisotropy, rounds: int):
     """Jointly relax (distance, nearest-seed-id) to fixpoint — the
     dijkstra3d.euclidean_distance_field(return_feature_map=True) equivalent
     (reference utility.py:613-617)."""
@@ -432,21 +463,13 @@ def _voronoi_fixpoint(init_dist, init_feat, ok, anisotropy, max_rounds: int):
                 d, f = sweep(d, f, axis, direction)
         return d, f
 
-    def cond(state):
-        d, f, changed, i = state
-        return jnp.logical_and(changed, i < max_rounds)
-
-    def body(state):
-        d, f, _, i = state
-        nd, nf = one_round((d, f))
-        changed = jnp.any(nd != d) | jnp.any(nf != f)
-        return nd, nf, changed, i + 1
-
     d0 = jnp.where(ok, init_dist, INF)
-    d, f, _, _ = jax.lax.while_loop(
-        cond, body, (d0, init_feat, jnp.bool_(True), 0)
+    d, f = jax.lax.fori_loop(
+        0, int(rounds), lambda _, st: one_round(st), (d0, init_feat)
     )
-    return d, f
+    nd, nf = one_round((d, f))
+    conv = jnp.all(nd == d) & jnp.all(nf == f)
+    return nd, nf, conv
 
 
 def voronoi_feature_field(
@@ -466,9 +489,16 @@ def voronoi_feature_field(
     # later seeds overwrite earlier at duplicate coords (deterministic)
     init_d = init_d.at[seeds[:, 0], seeds[:, 1], seeds[:, 2]].set(0.0)
     init_f = init_f.at[seeds[:, 0], seeds[:, 1], seeds[:, 2]].set(ids)
-    return _voronoi_fixpoint(
-        init_d, init_f, ok, tuple(float(a) for a in anisotropy), int(max_rounds)
-    )
+    anis = tuple(float(a) for a in anisotropy)
+    d, f = init_d, init_f
+    done, r = 0, 12
+    while done < int(max_rounds):
+        d, f, conv = _voronoi_stage(d, f, ok, anis, r)
+        done += r + 1
+        if bool(conv):
+            break
+        r = min(r * 2, 256)
+    return d, f
 
 
 @functools.partial(jax.jit, static_argnames=("anisotropy",))
@@ -523,24 +553,56 @@ def invalidation_cube(
     return n_inv, out
 
 
-def flood_fill(seed_mask, ok_mask, connectivity: int = 6) -> jnp.ndarray:
+def flood_fill_bounded(seed_mask, ok_mask, connectivity: int, rounds: int):
+    """Jit-safe bounded flood: returns (reachable mask, converged flag).
+    Traced callers escalate on ~converged (e.g. xsarea section floods)."""
+    ok = jnp.asarray(ok_mask, dtype=bool)
+    init = jnp.where(jnp.asarray(seed_mask, dtype=bool) & ok, 0.0, INF)
+    if connectivity == 26:
+        d0 = jnp.where(ok, init, INF)
+        d, conv = _relax_stage(
+            d0, ok, jnp.zeros_like(d0), jnp.zeros((1, 1, 1), jnp.uint32),
+            (1.0, 1.0, 1.0), False, False, int(rounds), has_vg=False,
+            conv="reach",
+        )
+    else:
+        d, conv = _flood6_stage(ok, init, int(rounds))
+    return jnp.isfinite(d), conv
+
+
+def flood_fill(seed_mask, ok_mask, connectivity: int = 6,
+               rounds: Optional[int] = None) -> jnp.ndarray:
     """Binary reachability: all ok voxels connected to seed_mask.
 
     Uses the same sweep engine with unit costs. connectivity 6 or 26.
+    rounds: bounded static-round form for traced callers (may under-flood;
+    pair with a convergence check via flood_fill_stage) — default is the
+    exact host-escalating form.
     """
     ok = jnp.asarray(ok_mask, dtype=bool)
     init = jnp.where(jnp.asarray(seed_mask, dtype=bool) & ok, 0.0, INF)
     if connectivity == 26:
-        dist = distance_field(ok, init, (1.0, 1.0, 1.0))
-    else:
-        dist = _flood6(ok, init)
-    return jnp.isfinite(dist)
+        dist = distance_field(ok, init, (1.0, 1.0, 1.0), rounds=rounds,
+                              conv="reach")
+        return jnp.isfinite(dist)
+    if rounds is not None:
+        dist, _ = _flood6_stage(ok, init, int(rounds))
+        return jnp.isfinite(dist)
+    d = jnp.where(ok, init, INF)
+    done, r = 0, 12
+    while done < 4096:
+        d, conv = _flood6_stage(ok, d, r)
+        done += r + 1
+        if bool(conv):
+            break
+        r = min(r * 2, 256)
+    return jnp.isfinite(d)
 
 
-@jax.jit
-def _flood6(ok, init):
+@functools.partial(jax.jit, static_argnames=("rounds",))
+def _flood6_stage(ok, init, rounds: int):
     """6-connected flood via the same sweep machinery (only the 6 axial
-    offsets participate)."""
+    offsets participate). Static rounds + convergence flag."""
 
     def sweep6(d, axis, direction):
         n = d.shape[axis]
@@ -571,15 +633,8 @@ def _flood6(ok, init):
                 d = sweep6(d, axis, direction)
         return d
 
-    def cond(state):
-        d, changed, i = state
-        return jnp.logical_and(changed, i < 4096)
-
-    def body(state):
-        d, _, i = state
-        nd = one_round(d)
-        return nd, jnp.any(nd != d), i + 1
-
     dist0 = jnp.where(ok, init, INF)
-    dist, _, _ = jax.lax.while_loop(cond, body, (dist0, jnp.bool_(True), 0))
-    return dist
+    d = jax.lax.fori_loop(0, int(rounds), lambda _, dd: one_round(dd), dist0)
+    d2 = one_round(d)
+    # reachability-stall convergence (only finiteness is consumed)
+    return d2, jnp.all(jnp.isfinite(d2) == jnp.isfinite(d))

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .geodesic import flood_fill
+from .geodesic import flood_fill, flood_fill_bounded
 
 _EPS = 1e-20
 
@@ -80,13 +80,15 @@ def box_plane_area(t, normal, anisotropy):
     return boxvol / jnp.maximum(a, _EPS) * mean
 
 
-@functools.partial(jax.jit, static_argnames=("anisotropy",))
-def _sections_batch(fg, verts, normals, anisotropy: Tuple[float, float, float]):
+@functools.partial(jax.jit, static_argnames=("anisotropy", "rounds"))
+def _sections_batch(fg, verts, normals, anisotropy: Tuple[float, float, float],
+                    rounds: int = 12):
     """Batched cross sections: for each (vertex, normal) pair, the area of
     the plane section of `fg` connected to the vertex + face-contact bits.
 
     fg: (X,Y,Z) bool; verts: (B,3) int32 voxel coords; normals: (B,3) unit.
-    Returns: areas (B,), contacts (B,) uint8.
+    Returns: areas (B,), contacts (B,) uint8, conv (B,) bool — lanes with
+    conv=False under-flooded within `rounds` and must be escalated.
     """
     s = np.asarray(anisotropy, dtype=np.float32)
     shape = fg.shape
@@ -105,7 +107,8 @@ def _sections_batch(fg, verts, normals, anisotropy: Tuple[float, float, float]):
         sec = fg & (areas > 0.0)
 
         seed = jnp.zeros(shape, dtype=bool).at[vert[0], vert[1], vert[2]].set(True)
-        kept = flood_fill(seed & sec, sec, connectivity=26)
+        kept, conv = flood_fill_bounded(seed & sec, sec, connectivity=26,
+                                        rounds=rounds)
 
         area = jnp.sum(jnp.where(kept, areas, 0.0))
 
@@ -115,7 +118,7 @@ def _sections_batch(fg, verts, normals, anisotropy: Tuple[float, float, float]):
             hi = jnp.any(jnp.take(kept, shape[axis] - 1, axis=axis))
             contact = contact | (lo.astype(jnp.uint8) << (2 * axis))
             contact = contact | (hi.astype(jnp.uint8) << (2 * axis + 1))
-        return area, contact
+        return area, contact, conv
 
     return jax.vmap(one)(verts, normals)
 
@@ -140,9 +143,18 @@ def cross_section_areas(
 
     areas = np.zeros(n, dtype=np.float32)
     contacts = np.zeros(n, dtype=np.uint8)
+    convs = np.zeros(n, dtype=bool)
     # dispatch one batch ahead of each fetch so the device computes the
     # next plane set while the previous results cross the tunnel
     pending = None
+
+    def land(pending):
+        j, jpad, (pa, pc, pv) = pending
+        take = batch - jpad if jpad else batch
+        areas[j: j + batch] = np.asarray(pa)[:take]
+        contacts[j: j + batch] = np.asarray(pc)[:take]
+        convs[j: j + batch] = np.asarray(pv)[:take]
+
     for i in range(0, n, batch):
         v = verts[i: i + batch]
         m = normals[i: i + batch]
@@ -152,16 +164,33 @@ def cross_section_areas(
             m = np.concatenate([m, np.tile([[1.0, 0, 0]], (pad, 1))])
         out = _sections_batch(fg, jnp.asarray(v), jnp.asarray(m), anisotropy)
         if pending is not None:
-            j, jpad, (pa, pc) = pending
-            take = batch - jpad if jpad else batch
-            areas[j: j + batch] = np.asarray(pa)[:take]
-            contacts[j: j + batch] = np.asarray(pc)[:take]
+            land(pending)
         pending = (i, pad, out)
     if pending is not None:
-        j, jpad, (pa, pc) = pending
-        take = batch - jpad if jpad else batch
-        areas[j: j + batch] = np.asarray(pa)[:take]
-        contacts[j: j + batch] = np.asarray(pc)[:take]
+        land(pending)
+
+    # escalate under-flooded sections (bounded rounds hit their cap) with
+    # progressively deeper sweeps; tiny tail in practice
+    for rounds in (48, 192):
+        bad = np.flatnonzero(~convs)
+        if len(bad) == 0:
+            break
+        for i in range(0, len(bad), batch):
+            idx = bad[i: i + batch]
+            v = verts[idx]
+            m = normals[idx]
+            pad = batch - v.shape[0]
+            if pad:
+                v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
+                m = np.concatenate([m, np.tile([[1.0, 0, 0]], (pad, 1))])
+            pa, pc, pv = _sections_batch(
+                fg, jnp.asarray(v), jnp.asarray(m), anisotropy, rounds=rounds
+            )
+            take = len(idx)
+            areas[idx] = np.asarray(pa)[:take]
+            contacts[idx] = np.asarray(pc)[:take]
+            convs[idx] = np.asarray(pv)[:take]
+
     return areas, contacts
 
 
