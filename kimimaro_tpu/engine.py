@@ -30,11 +30,15 @@ from .skeleton import Skeleton
 T_CAP = 16     # manual-target slots per lane (beyond -> host fallback)
 K_CAP = 64     # path rows per lane (overflow -> host fallback)
 B_LANES = 64   # max lanes per kernel call
-# Bound lanes x crop-voxels per launch: each live array in the fused trace
-# costs 4 B/voxel-lane and the while-loop keeps ~10 alive, so 32M voxel-lanes
-# ~= 1.3 GB of working set -- safely inside a v5e chip's HBM next to the
-# resident volume. Launches above this bound crash the TPU worker.
-MAX_VOXEL_LANES = 32 * 1024 * 1024
+# Bound lanes x crop-voxels per launch. Two constraints meet here: HBM
+# working set (~10 live arrays x 4 B/voxel-lane), and -- binding in
+# practice -- the XLA:TPU vmap miscompile of the sweep relaxation, which
+# produces divergent fields at large widths (observed broken at
+# B=8 x (128,128,64) in the full kernel and B=32 in isolation; clean
+# through B=4 x (128,128,64) = 4M voxel-lanes). Every engine result is
+# additionally gated by _paths_structurally_valid, so a budget that turns
+# out too generous degrades to host fallback, not silent corruption.
+MAX_VOXEL_LANES = 4 * 1024 * 1024
 import os as _os
 if _os.environ.get("KIMIMARO_TPU_MAX_VOXEL_LANES"):
     MAX_VOXEL_LANES = int(_os.environ["KIMIMARO_TPU_MAX_VOXEL_LANES"])
@@ -486,6 +490,28 @@ def _bucket_dim(n: int) -> int:
     return b
 
 
+def _paths_structurally_valid(path_list) -> bool:
+    """TEASAR tree invariants, checked on host from fetched paths:
+    every step is a 26-neighbor move, and each path's rail anchor (first
+    vertex, rail-first order) lies on the tree built by earlier paths
+    (the first path's anchor is the root). Catches wandering chases from
+    a divergent rail field regardless of what the device kernel reported."""
+    tree = None
+    for verts, _ in path_list:
+        if len(verts) == 0:
+            continue
+        steps = np.abs(np.diff(verts, axis=0))
+        if steps.size and int(steps.max()) > 1:
+            return False
+        if tree is None:
+            tree = set(map(tuple, verts.tolist()))
+            continue
+        if tuple(verts[0].tolist()) not in tree:
+            return False
+        tree.update(map(tuple, verts.tolist()))
+    return True
+
+
 def trace_batched(
     cc_dev,
     dbf_dev,
@@ -613,6 +639,13 @@ def trace_batched(
                     # translate crop frame -> the job's bbox frame
                     row = row + (job["crop_off"] - np.asarray(job["offset"]))
                     out.append((row, rad))
+                if not _paths_structurally_valid(out):
+                    # compiler-independent correctness gate: a divergent
+                    # rail field (the TPU miscompile class) yields paths
+                    # that teleport or miss the growing tree — send the
+                    # label down the exact host path instead
+                    fallback.append(job)
+                    continue
                 results[job["segid"]] = out
             pbar.update(done)
 
