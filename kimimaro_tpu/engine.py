@@ -97,15 +97,20 @@ def _crop_fill(fg, anisotropy, rounds: int = 12):
                 d = sweep6(d, axis, direction)
         return d
 
-    d = jax.lax.fori_loop(
-        0, int(rounds), lambda _, dd: one_round(dd), jnp.where(bg, init, INF)
+    def body(carry, _):
+        d, _ = carry
+        nd = one_round(d)
+        # reachability-stall convergence: a full round with no newly
+        # reached voxel means no unreached voxel borders a reached one
+        # (sound for the flood; exact distances are never consumed)
+        return (nd, jnp.any(jnp.isfinite(nd) != jnp.isfinite(d))), None
+
+    (d, changed), _ = jax.lax.scan(
+        body, (jnp.where(bg, init, INF), jnp.bool_(True)), None,
+        length=int(rounds) + 1,
     )
-    d2 = one_round(d)
-    reached = jnp.isfinite(d2)
-    # reachability-stall convergence: a full round with no newly reached
-    # voxel means no unreached voxel borders a reached one (sound for the
-    # flood; exact distance values are never consumed)
-    return fg | (bg & ~reached), jnp.all(reached == jnp.isfinite(d))
+    reached = jnp.isfinite(d)
+    return fg | (bg & ~reached), ~changed
 
 
 _AXIS_UNIT = ((1, 0, 0), (0, 1, 0), (0, 0, 1))

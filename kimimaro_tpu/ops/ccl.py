@@ -111,9 +111,15 @@ def _ccl_stage(ids0, labels, voxel_graph, has_vg: bool = False,
         def step(ids):
             return jump(sweep_round(sweep_round(ids)))
 
-    ids = jax.lax.fori_loop(0, int(rounds), lambda _, ii: step(ii), ids0)
-    ids2 = step(ids)
-    return ids2, jnp.all(ids2 == ids)
+    def body(carry, _):
+        ids, _ = carry
+        nids = step(ids)
+        return (nids, jnp.any(nids != ids)), None
+
+    (ids, changed), _ = jax.lax.scan(
+        body, (ids0, jnp.bool_(True)), None, length=int(rounds) + 1
+    )
+    return ids, ~changed
 
 
 def connected_components(labels, voxel_graph=None) -> jnp.ndarray:
@@ -141,12 +147,13 @@ def connected_components(labels, voxel_graph=None) -> jnp.ndarray:
     ids, conv = _ccl_stage(ids, labels, vg, has_vg=has_vg, phase=1, rounds=5)
     # phase 2 (escalating): long winding components still unconverged —
     # accelerate with pointer jumping (a full-volume random gather, the
-    # slowest primitive on TPU, so it only runs when sweeps alone stall)
-    r = 2
+    # slowest primitive on TPU, so it only runs when sweeps alone stall).
+    # ONE fixed stage size: warm restarts repeat the same compiled program
+    # (each new 512^3 program variant costs minutes of XLA compile; extra
+    # launches of a cached one cost milliseconds)
     while not bool(conv):
         ids, conv = _ccl_stage(ids, labels, vg, has_vg=has_vg, phase=2,
-                               rounds=r)
-        r = min(r * 2, 64)
+                               rounds=4)
     return jnp.where(fg, ids, 0)
 
 

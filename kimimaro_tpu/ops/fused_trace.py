@@ -79,19 +79,28 @@ def _relax_rounds(d, ok, nc, anisotropy, rounds: int, clamp_positive=False,
                            pallas=False)
         return d
 
-    d = jax.lax.fori_loop(0, int(rounds), lambda _, dd: one_round(dd), d)
-    d2 = one_round(d)
-    # the checking round is also a relaxing round (free progress); NaN
-    # anywhere reads as unconverged -> flagged.
-    if conv == "reach":
-        ok_conv = jnp.all(jnp.isfinite(d2) == jnp.isfinite(d))
-    elif conv == "negative":
-        ok_conv = jnp.all(
-            jnp.where(d2 <= 0, d2, INF) == jnp.where(d <= 0, d, INF)
-        )
-    else:
-        ok_conv = jnp.all(d2 == d)
-    return d2, ok_conv
+    # ONE scan body carrying a last-round-changed flag: converged iff the
+    # final round changed nothing (the final round doubles as the check
+    # round). A separate inlined check round would duplicate the whole
+    # sweep body in HLO and double volume-scale compile times.
+    def body(carry, _):
+        d, _ = carry
+        nd = one_round(d)
+        if conv == "reach":
+            changed = jnp.any(jnp.isfinite(nd) != jnp.isfinite(d))
+        elif conv == "negative":
+            changed = jnp.any(
+                jnp.where(nd <= 0, nd, INF) != jnp.where(d <= 0, d, INF)
+            )
+        else:
+            changed = jnp.any(nd != d)
+        return (nd, changed), None
+
+    (d, changed), _ = jax.lax.scan(
+        body, (d, jnp.bool_(True)), None, length=int(rounds) + 1
+    )
+    # NaN anywhere reads as changed (NaN != NaN) -> unconverged -> flagged
+    return d, ~changed
 
 
 def _relax_fixpoint(d, ok, nc, anisotropy, clamp_positive=False,

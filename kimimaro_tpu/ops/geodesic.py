@@ -73,6 +73,95 @@ def _off_cost(off, anisotropy) -> np.float32:
     return np.float32(np.sqrt(np.sum((np.array(off, dtype=np.float64) * w) ** 2)))
 
 
+def _scan_sweep_axis0(d, ok, nc, anis_perm, node_mode: bool,
+                      clamp_positive: bool):
+    """Scan-form +axis0 sweep of ONE (n, H, W) volume (axis-0-first layout,
+    direction already folded in by the caller via flips)."""
+    costs9 = []
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            costs9.append((
+                (dy, dz),
+                np.float32(np.sqrt(
+                    anis_perm[0] ** 2
+                    + (dy * anis_perm[1]) ** 2
+                    + (dz * anis_perm[2]) ** 2
+                )),
+            ))
+
+    def step(prev, x):
+        cur, okc, ncc = x
+        cand = jnp.full_like(cur, INF)
+        for (dy, dz), c in costs9:
+            s = shifted(prev, (dy, dz), INF)
+            if node_mode:
+                cand = jnp.minimum(cand, s)
+            else:
+                cand = jnp.minimum(cand, s + c)
+        if node_mode:
+            cand = cand + ncc
+        new = jnp.where(okc, jnp.minimum(cur, cand), INF)
+        if clamp_positive:
+            new = jnp.where(new > 0.0, INF, new)
+        return new, new
+
+    _, rest = jax.lax.scan(step, d[0], (d[1:], ok[1:], nc[1:]))
+    return jnp.concatenate([d[:1], rest], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _axis0_sweep_core(anis_perm, node_mode: bool, clamp_positive: bool,
+                      batched_pallas: bool):
+    """custom-vmap'd axis0 sweep: per-lane it is the scan form; under vmap
+    it lowers to ONE batched Pallas launch (grid over planes, lanes inside
+    each block) instead of XLA's vmapped scan — which both miscompiles at
+    wide batch on the TPU backend and pays per-plane dispatch overhead."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def core(d, ok, nc):
+        return _scan_sweep_axis0(d, ok, nc, anis_perm, node_mode,
+                                 clamp_positive)
+
+    @core.def_vmap
+    def rule(axis_size, in_batched, d, ok, nc):
+        db, okb, ncb = in_batched
+        if not db:
+            d = jnp.broadcast_to(d[None], (axis_size,) + d.shape)
+        if not okb:
+            ok = jnp.broadcast_to(ok[None], (axis_size,) + ok.shape)
+        if not ncb:
+            nc = jnp.broadcast_to(nc[None], (axis_size,) + nc.shape)
+        if batched_pallas:
+            from . import pallas_sweep
+
+            out = pallas_sweep.sweep_axis0_batched(
+                d, ok, nc, anis_perm, node_mode, clamp_positive
+            )
+        else:
+            out = jax.vmap(
+                lambda dd, oo, nn: _scan_sweep_axis0(
+                    dd, oo, nn, anis_perm, node_mode, clamp_positive
+                )
+            )(d, ok, nc)
+        return out, True
+
+    return core
+
+
+def _use_batched_pallas() -> bool:
+    """Batched Pallas sweeps engage on the TPU backend (or when interpret
+    mode is forced for CPU equivalence tests)."""
+    from . import pallas_sweep
+
+    if pallas_sweep.INTERPRET:
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _sweep(dist, ok, node_cost, axis, direction, anisotropy, clamp_positive,
            voxel_graph=None, pallas=None):
     """One directional plane sweep along `axis` in `direction` (+1/-1).
@@ -111,6 +200,32 @@ def _sweep(dist, ok, node_cost, axis, direction, anisotropy, clamp_positive,
             d2, ok2, nc2, anis_perm, node_cost is not None,
             bool(clamp_positive),
         )
+        if direction < 0:
+            out = out[::-1]
+        return jnp.moveaxis(out, 0, axis)
+
+    if voxel_graph is None:
+        # scan/batched-Pallas core: per-lane the scan form; under vmap a
+        # custom batching rule emits ONE Pallas launch with lanes inside
+        # each block (the XLA-vmapped scan both miscompiles at wide batch
+        # on the TPU backend and pays per-plane dispatch overhead)
+        anis_perm = (float(anisotropy[axis]),) + tuple(
+            float(anisotropy[i]) for i in range(3) if i != axis
+        )
+        d2 = jnp.moveaxis(dist, axis, 0)
+        ok2 = jnp.moveaxis(ok, axis, 0)
+        nc2 = (
+            jnp.moveaxis(node_cost, axis, 0)
+            if node_cost is not None
+            else jnp.zeros_like(d2)
+        )
+        if direction < 0:
+            d2, ok2, nc2 = d2[::-1], ok2[::-1], nc2[::-1]
+        core = _axis0_sweep_core(
+            anis_perm, node_cost is not None, bool(clamp_positive),
+            _use_batched_pallas(),
+        )
+        out = core(d2, ok2, nc2)
         if direction < 0:
             out = out[::-1]
         return jnp.moveaxis(out, 0, axis)
@@ -205,21 +320,27 @@ def _relax_stage(
                            clamp_positive, voxel_graph=vg)
         return d
 
-    d = jax.lax.fori_loop(
-        0, int(rounds), lambda _, dd: one_round(dd), init_dist
+    # one scan body with a trailing-changed flag (criterion matched to
+    # the consumed quantity — see ops.fused_trace._relax_rounds); a
+    # separate check round would double the HLO body and volume-scale
+    # compile times
+    def body(carry, _):
+        d, _ = carry
+        nd = one_round(d)
+        if conv == "reach":
+            changed = jnp.any(jnp.isfinite(nd) != jnp.isfinite(d))
+        elif conv == "negative":
+            changed = jnp.any(
+                jnp.where(nd <= 0, nd, INF) != jnp.where(d <= 0, d, INF)
+            )
+        else:
+            changed = jnp.any(nd != d)
+        return (nd, changed), None
+
+    (d, changed), _ = jax.lax.scan(
+        body, (init_dist, jnp.bool_(True)), None, length=int(rounds) + 1
     )
-    d2 = one_round(d)
-    # criterion matched to the consumed quantity (see
-    # ops.fused_trace._relax_rounds for the soundness arguments)
-    if conv == "reach":
-        ok_conv = jnp.all(jnp.isfinite(d2) == jnp.isfinite(d))
-    elif conv == "negative":
-        ok_conv = jnp.all(
-            jnp.where(d2 <= 0, d2, INF) == jnp.where(d <= 0, d, INF)
-        )
-    else:
-        ok_conv = jnp.all(d2 == d)
-    return d2, ok_conv
+    return d, ~changed
 
 
 def distance_field(
@@ -272,16 +393,17 @@ def distance_field(
         return d
 
     # host-driven escalation: monotone min-plus relaxation warm-restarts
-    # exactly, so each stage continues from the previous field
-    done, r = 0, 12
+    # exactly, so each stage continues from the previous field. ONE fixed
+    # stage size — extra launches of a cached program are cheap; every new
+    # round-count variant is a multi-minute XLA compile at volume scale
+    done = 0
     while done < int(max_rounds):
         d, cflag = _relax_stage(d, ok, nc, vg, anis, node_mode,
-                                bool(clamp_positive), r, has_vg=has_vg,
+                                bool(clamp_positive), 12, has_vg=has_vg,
                                 conv=conv)
-        done += r + 1
+        done += 13
         if bool(cflag):
             break
-        r = min(r * 2, 256)
     return d
 
 
@@ -464,12 +586,18 @@ def _voronoi_stage(init_dist, init_feat, ok, anisotropy, rounds: int):
         return d, f
 
     d0 = jnp.where(ok, init_dist, INF)
-    d, f = jax.lax.fori_loop(
-        0, int(rounds), lambda _, st: one_round(st), (d0, init_feat)
+
+    def body(carry, _):
+        (d, f), _ = carry
+        nd, nf = one_round((d, f))
+        changed = jnp.any(nd != d) | jnp.any(nf != f)
+        return ((nd, nf), changed), None
+
+    ((d, f), changed), _ = jax.lax.scan(
+        body, ((d0, init_feat), jnp.bool_(True)), None,
+        length=int(rounds) + 1,
     )
-    nd, nf = one_round((d, f))
-    conv = jnp.all(nd == d) & jnp.all(nf == f)
-    return nd, nf, conv
+    return d, f, ~changed
 
 
 def voronoi_feature_field(
@@ -491,13 +619,12 @@ def voronoi_feature_field(
     init_f = init_f.at[seeds[:, 0], seeds[:, 1], seeds[:, 2]].set(ids)
     anis = tuple(float(a) for a in anisotropy)
     d, f = init_d, init_f
-    done, r = 0, 12
+    done = 0
     while done < int(max_rounds):
-        d, f, conv = _voronoi_stage(d, f, ok, anis, r)
-        done += r + 1
+        d, f, conv = _voronoi_stage(d, f, ok, anis, 12)
+        done += 13
         if bool(conv):
             break
-        r = min(r * 2, 256)
     return d, f
 
 
@@ -589,13 +716,12 @@ def flood_fill(seed_mask, ok_mask, connectivity: int = 6,
         dist, _ = _flood6_stage(ok, init, int(rounds))
         return jnp.isfinite(dist)
     d = jnp.where(ok, init, INF)
-    done, r = 0, 12
+    done = 0
     while done < 4096:
-        d, conv = _flood6_stage(ok, d, r)
-        done += r + 1
+        d, conv = _flood6_stage(ok, d, 12)
+        done += 13
         if bool(conv):
             break
-        r = min(r * 2, 256)
     return jnp.isfinite(d)
 
 
@@ -634,7 +760,14 @@ def _flood6_stage(ok, init, rounds: int):
         return d
 
     dist0 = jnp.where(ok, init, INF)
-    d = jax.lax.fori_loop(0, int(rounds), lambda _, dd: one_round(dd), dist0)
-    d2 = one_round(d)
-    # reachability-stall convergence (only finiteness is consumed)
-    return d2, jnp.all(jnp.isfinite(d2) == jnp.isfinite(d))
+
+    def body(carry, _):
+        d, _ = carry
+        nd = one_round(d)
+        # reachability-stall convergence (only finiteness is consumed)
+        return (nd, jnp.any(jnp.isfinite(nd) != jnp.isfinite(d))), None
+
+    (d, changed), _ = jax.lax.scan(
+        body, (dist0, jnp.bool_(True)), None, length=int(rounds) + 1
+    )
+    return d, ~changed

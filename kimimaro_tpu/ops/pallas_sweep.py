@@ -129,6 +129,120 @@ def sweep_axis0(
     )(d, ok, node_cost)
 
 
+def _shift_lanes2d(p, dy, dz, fill):
+    """out[b, y, z] = p[b, y+dy, z+dz], edges filled (batched planes)."""
+    if dy == 0 and dz == 0:
+        return p
+    B, H, W = p.shape
+    out = p
+    if dy != 0:
+        pad = jnp.full((B, 1, W), fill, dtype=p.dtype)
+        if dy > 0:
+            out = jnp.concatenate([out[:, dy:], pad], axis=1)
+        else:
+            out = jnp.concatenate([pad, out[:, :-1]], axis=1)
+    if dz != 0:
+        pad = jnp.full((B, H, 1), fill, dtype=out.dtype)
+        if dz > 0:
+            out = jnp.concatenate([out[:, :, dz:], pad], axis=2)
+        else:
+            out = jnp.concatenate([pad, out[:, :, :-1]], axis=2)
+    return out
+
+
+def _batched_kernel_factory(costs9, node_mode: bool, clamp_positive: bool):
+    """Kernel over (B, 1, H, W) blocks: every lane's plane i relaxed from
+    the carried plane i-1 in one grid step (grid walks the swept axis;
+    lanes ride the block's leading dim, so batch width costs no extra
+    sequential steps — the form that replaces vmapping the scan sweep)."""
+
+    def kernel(d_ref, ok_ref, nc_ref, out_ref, prev_ref):
+        i = pl.program_id(0)
+
+        cur = d_ref[:, 0]
+        okc = ok_ref[:, 0]
+        ncc = nc_ref[:, 0]
+
+        def relax(prev):
+            cand = jnp.full_like(cur, INF)
+            for (dy, dz), c in costs9:
+                s = _shift_lanes2d(prev, dy, dz, INF)
+                if node_mode:
+                    cand = jnp.minimum(cand, s)
+                else:
+                    cand = jnp.minimum(cand, s + c)
+            if node_mode:
+                cand = cand + ncc
+            new = jnp.where(okc, jnp.minimum(cur, cand), INF)
+            if clamp_positive:
+                new = jnp.where(new > 0.0, INF, new)
+            return new
+
+        new = jax.lax.cond(i == 0, lambda: cur, lambda: relax(prev_ref[...]))
+        out_ref[:, 0] = new
+        prev_ref[...] = new
+
+    return kernel
+
+
+# VMEM working set per grid step: 5 x B x H x W x 4 B (3 in blocks, 1 out,
+# 1 scratch); keep comfortably inside the ~16 MB/core budget
+_VMEM_BUDGET_ELEMS = 512 * 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("anisotropy", "node_mode", "clamp_positive"),
+)
+def sweep_axis0_batched(
+    d,
+    ok,
+    node_cost,
+    anisotropy: Tuple[float, float, float],
+    node_mode: bool,
+    clamp_positive: bool,
+):
+    """Directional +axis1 sweep of a batch of (n, H, W) volumes in ONE
+    Pallas launch per lane-chunk. d/ok/node_cost: (B, n, H, W)."""
+    B, n, H, W = d.shape
+    w = np.asarray(anisotropy, dtype=np.float64)
+
+    costs9 = []
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            c = np.float32(
+                np.sqrt((w[0]) ** 2 + (dy * w[1]) ** 2 + (dz * w[2]) ** 2)
+            )
+            costs9.append(((dy, dz), c))
+
+    kernel = _batched_kernel_factory(costs9, node_mode, clamp_positive)
+
+    bmax = max(1, _VMEM_BUDGET_ELEMS // (H * W))
+
+    def run(db, okb, ncb):
+        Bc = db.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((Bc, 1, H, W), lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((Bc, 1, H, W), lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((Bc, 1, H, W), lambda i: (0, i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((Bc, 1, H, W), lambda i: (0, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((Bc, n, H, W), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((Bc, H, W), jnp.float32)],
+            interpret=INTERPRET,
+        )(db, okb, ncb)
+
+    if B <= bmax:
+        return run(d, ok, node_cost)
+    outs = []
+    for s in range(0, B, bmax):
+        outs.append(run(d[s:s + bmax], ok[s:s + bmax], node_cost[s:s + bmax]))
+    return jnp.concatenate(outs, axis=0)
+
+
 def available() -> bool:
     """Pallas TPU sweeps need a TPU backend (or interpret mode)."""
     try:

@@ -42,3 +42,54 @@ def test_sweep_axis0_matches(node_mode, clamp):
     finite = np.isfinite(ref)
     assert np.array_equal(finite, np.isfinite(got))
     assert np.allclose(ref[finite], got[finite], rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("node_mode", (False, True))
+@pytest.mark.parametrize("clamp", (False, True))
+def test_sweep_axis0_batched_matches(node_mode, clamp):
+    rng = np.random.RandomState(11)
+    B, shape = 5, (6, 8, 8)
+    d = rng.uniform(-3, 10, size=(B,) + shape).astype(np.float32)
+    d[rng.rand(B, *shape) < 0.3] = np.inf
+    ok = rng.rand(B, *shape) < 0.8
+    nc = rng.uniform(0, 2, size=(B,) + shape).astype(np.float32)
+    d0 = jnp.where(jnp.asarray(ok), jnp.asarray(d), jnp.inf)
+
+    got = np.asarray(
+        pallas_sweep.sweep_axis0_batched(
+            d0, jnp.asarray(ok), jnp.asarray(nc), ANIS, node_mode, clamp
+        )
+    )
+    for b in range(B):
+        ref = np.asarray(
+            _ref_sweep(d0[b], jnp.asarray(ok[b]), jnp.asarray(nc[b]),
+                       node_mode, clamp)
+        )
+        finite = np.isfinite(ref)
+        assert np.array_equal(finite, np.isfinite(got[b]))
+        assert np.allclose(ref[finite], got[b][finite], rtol=1e-6, atol=1e-6)
+
+
+def test_vmapped_sweep_uses_batched_rule():
+    """vmap(_sweep) must agree with per-lane _sweep — this exercises the
+    custom_vmap batching rule (Pallas in interpret mode on CPU)."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    B, shape = 4, (7, 6, 9)
+    d = rng.uniform(0, 10, size=(B,) + shape).astype(np.float32)
+    d[rng.rand(B, *shape) < 0.4] = np.inf
+    ok = rng.rand(B, *shape) < 0.85
+    d0 = jnp.where(jnp.asarray(ok), jnp.asarray(d), jnp.inf)
+    ok_j = jnp.asarray(ok)
+
+    for axis in (0, 1, 2):
+        for direction in (1, -1):
+            f = lambda dd, oo: _sweep(dd, oo, None, axis, direction, ANIS,
+                                      False, pallas=False)
+            got = np.asarray(jax.vmap(f)(d0, ok_j))
+            for b in range(B):
+                ref = np.asarray(f(d0[b], ok_j[b]))
+                finite = np.isfinite(ref)
+                assert np.array_equal(finite, np.isfinite(got[b])), (axis, direction, b)
+                assert np.allclose(ref[finite], got[b][finite], rtol=1e-6)
