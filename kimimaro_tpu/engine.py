@@ -30,15 +30,15 @@ from .skeleton import Skeleton
 T_CAP = 16     # manual-target slots per lane (beyond -> host fallback)
 K_CAP = 64     # path rows per lane (overflow -> host fallback)
 B_LANES = 64   # max lanes per kernel call
-# Bound lanes x crop-voxels per launch. Two constraints meet here: HBM
-# working set (~10 live arrays x 4 B/voxel-lane), and -- binding in
-# practice -- the XLA:TPU vmap miscompile of the sweep relaxation, which
-# produces divergent fields at large widths (observed broken at
-# B=8 x (128,128,64) in the full kernel and B=32 in isolation; clean
-# through B=4 x (128,128,64) = 4M voxel-lanes). Every engine result is
-# additionally gated by _paths_structurally_valid, so a budget that turns
-# out too generous degrades to host fallback, not silent corruption.
-MAX_VOXEL_LANES = 4 * 1024 * 1024
+# Bound lanes x crop-voxels per launch (HBM working set: ~10 live arrays
+# x 4 B/voxel-lane). The batched sweeps lower to the chunked Pallas kernel
+# (ops.pallas_sweep.sweep_axis0_batched) on TPU, verified bit-identical to
+# solo execution at 32 x (128,128,64); XLA's own vmapped-scan lowering is
+# NOT trusted at width >= 8 (it diverges -- see ops.geodesic._axis0_sweep_core).
+# Every engine result is additionally gated by _paths_structurally_valid,
+# so an over-generous budget degrades to host fallback, never silent
+# corruption.
+MAX_VOXEL_LANES = 32 * 1024 * 1024
 import os as _os
 if _os.environ.get("KIMIMARO_TPU_MAX_VOXEL_LANES"):
     MAX_VOXEL_LANES = int(_os.environ["KIMIMARO_TPU_MAX_VOXEL_LANES"])

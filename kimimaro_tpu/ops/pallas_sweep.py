@@ -150,23 +150,33 @@ def _shift_lanes2d(p, dy, dz, fill):
     return out
 
 
-def _batched_kernel_factory(costs9, node_mode: bool, clamp_positive: bool):
+def _batched_kernel_factory(costs9, node_mode: bool, clamp_positive: bool,
+                            B: int, H: int, W: int):
     """Kernel over (B, 1, H, W) blocks: every lane's plane i relaxed from
     the carried plane i-1 in one grid step (grid walks the swept axis;
     lanes ride the block's leading dim, so batch width costs no extra
-    sequential steps — the form that replaces vmapping the scan sweep)."""
+    sequential steps — the form that replaces vmapping the scan sweep).
+
+    The carried plane lives in an INF-bordered (B, H+2, W+2) scratch so
+    the nine neighbor reads are static slices of one buffer instead of
+    pad+concat chains (whose temporaries blow the 16 MB scoped-vmem
+    budget at useful lane counts)."""
 
     def kernel(d_ref, ok_ref, nc_ref, out_ref, prev_ref):
         i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            prev_ref[...] = jnp.full((B, H + 2, W + 2), INF, jnp.float32)
 
         cur = d_ref[:, 0]
         okc = ok_ref[:, 0]
         ncc = nc_ref[:, 0]
 
-        def relax(prev):
+        def relax():
             cand = jnp.full_like(cur, INF)
             for (dy, dz), c in costs9:
-                s = _shift_lanes2d(prev, dy, dz, INF)
+                s = prev_ref[:, 1 + dy:1 + dy + H, 1 + dz:1 + dz + W]
                 if node_mode:
                     cand = jnp.minimum(cand, s)
                 else:
@@ -178,16 +188,18 @@ def _batched_kernel_factory(costs9, node_mode: bool, clamp_positive: bool):
                 new = jnp.where(new > 0.0, INF, new)
             return new
 
-        new = jax.lax.cond(i == 0, lambda: cur, lambda: relax(prev_ref[...]))
+        new = jax.lax.cond(i == 0, lambda: cur, relax)
         out_ref[:, 0] = new
-        prev_ref[...] = new
+        prev_ref[:, 1:H + 1, 1:W + 1] = new
 
     return kernel
 
 
-# VMEM working set per grid step: 5 x B x H x W x 4 B (3 in blocks, 1 out,
-# 1 scratch); keep comfortably inside the ~16 MB/core budget
-_VMEM_BUDGET_ELEMS = 512 * 1024
+# The axon AOT compiler charges a pallas custom call inside a loop body
+# scoped-vmem proportional to the WHOLE chunk operand (~1.1 MB per M
+# elements observed), against a 16 MB limit — so bound total elements per
+# lane-chunk, not per plane block
+_CHUNK_BUDGET_ELEMS = 8 * 1024 * 1024
 
 
 @functools.partial(
@@ -215,12 +227,13 @@ def sweep_axis0_batched(
             )
             costs9.append(((dy, dz), c))
 
-    kernel = _batched_kernel_factory(costs9, node_mode, clamp_positive)
-
-    bmax = max(1, _VMEM_BUDGET_ELEMS // (H * W))
+    bmax = max(1, _CHUNK_BUDGET_ELEMS // (n * H * W))
 
     def run(db, okb, ncb):
         Bc = db.shape[0]
+        kernel = _batched_kernel_factory(
+            costs9, node_mode, clamp_positive, Bc, H, W
+        )
         return pl.pallas_call(
             kernel,
             grid=(n,),
@@ -231,7 +244,7 @@ def sweep_axis0_batched(
             ],
             out_specs=pl.BlockSpec((Bc, 1, H, W), lambda i: (0, i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((Bc, n, H, W), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((Bc, H, W), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((Bc, H + 2, W + 2), jnp.float32)],
             interpret=INTERPRET,
         )(db, okb, ncb)
 
