@@ -228,6 +228,7 @@ def _one_label(
     has_vg: bool,
     K: int, L: int,
     relax_rounds: int = RELAX_ROUNDS,
+    soma_possible: bool = True,
 ):
     shape = crop_shape
     anis = jnp.asarray(anisotropy, dtype=jnp.float32)
@@ -270,7 +271,12 @@ def _one_label(
     )
     nc_bits = nc_bits | jnp.where(conv_f, 0, 1)
     dbf_max = jnp.max(dbf)
-    soma_mode = dbf_max > soma_acceptance_threshold
+    if soma_possible:
+        soma_mode = dbf_max > soma_acceptance_threshold
+    else:
+        # host verified dbf_max below both thresholds: the refill,
+        # root-ball, and path-cull branches compile away entirely
+        soma_mode = jnp.bool_(False)
     soma_radius = jnp.where(
         soma_mode,
         dbf_max * soma_invalidation_scale + soma_invalidation_const,
@@ -323,10 +329,11 @@ def _one_label(
                                    conv="negative")
         return valid & ~(bd <= 0.0), conv_s
 
-    valid, conv_s = jax.lax.cond(
-        soma_mode, soma_ball, lambda v: (v, jnp.bool_(True)), valid
-    )
-    nc_bits = nc_bits | jnp.where(conv_s, 0, 16)
+    if soma_possible:
+        valid, conv_s = jax.lax.cond(
+            soma_mode, soma_ball, lambda v: (v, jnp.bool_(True)), valid
+        )
+        nc_bits = nc_bits | jnp.where(conv_s, 0, 16)
     valid_count = jnp.sum(valid).astype(jnp.int32)
 
     # --- target bookkeeping: slot0 holds either the user root (soma mode:
@@ -389,7 +396,8 @@ def _one_label(
             keep = ((dist > soma_radius) | (idxs == (plen - 1))) & (idxs < plen)
             return jnp.where(keep[:, None], path, -1)
 
-        path = jax.lax.cond(soma_mode, cull, lambda p: p, path)
+        if soma_possible:
+            path = jax.lax.cond(soma_mode, cull, lambda p: p, path)
         px, py, pz = path[:, 0], path[:, 1], path[:, 2]
 
         radii_b = scale * dbf.at[px, py, pz].get(mode="fill", fill_value=0.0) + const
@@ -444,7 +452,7 @@ def _one_label(
     jax.jit,
     static_argnames=(
         "crop_shape", "anisotropy", "pdrf_exponent", "fix_branching",
-        "has_vg", "K", "L", "relax_rounds",
+        "has_vg", "K", "L", "relax_rounds", "soma_possible",
     ),
 )
 def batched_trace_kernel(
@@ -463,6 +471,7 @@ def batched_trace_kernel(
     K: int,
     L: int,
     relax_rounds: int = RELAX_ROUNDS,
+    soma_possible: bool = True,
 ):
     """vmap of the full per-label trace over a batch of labels. The full
     cc/dbf volumes are broadcast (device-resident); every lane slices its
@@ -472,6 +481,7 @@ def batched_trace_kernel(
         crop_shape=crop_shape, anisotropy=anisotropy,
         pdrf_exponent=pdrf_exponent, fix_branching=fix_branching,
         has_vg=has_vg, K=K, L=L, relax_rounds=relax_rounds,
+        soma_possible=soma_possible,
     )
     return jax.vmap(
         lambda lid, off, b, nb, a, na, r, hr, mp: fn(
@@ -556,8 +566,13 @@ def trace_batched(
 
     vol_shape = cc_dev.shape
 
-    # bucket jobs by padded crop shape
-    buckets: Dict[Tuple[int, int, int], List[dict]] = {}
+    # the soma refill/re-EDT branch is the kernel's most expensive code;
+    # labels whose DBF max (host-known) cannot reach either threshold get
+    # a kernel variant with those branches compiled away
+    soma_cut = min(sdt, sat)
+
+    # bucket jobs by (padded crop shape, soma possibility)
+    buckets: Dict[Tuple[Tuple[int, int, int], bool], List[dict]] = {}
     fallback: List[dict] = []
     for job in jobs:
         if len(job["before"]) > T_CAP or len(job["after"]) > T_CAP:
@@ -575,7 +590,9 @@ def trace_batched(
         off = np.maximum(off, 0)
         job = dict(job)
         job["crop_off"] = off
-        buckets.setdefault(bshape, []).append(job)
+        dmx = job.get("dbfmax")
+        soma = (dmx is None) or (float(dmx) > soma_cut)
+        buckets.setdefault((bshape, soma), []).append(job)
 
     results: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
 
@@ -654,12 +671,13 @@ def trace_batched(
                 results[job["segid"]] = out
             pbar.update(done)
 
-        for bshape, group in sorted(pass_buckets.items()):
+        for (bshape, soma), group in sorted(pass_buckets.items()):
             K = K_CAP
             L = max(int(2 * sum(bshape)), 64)
             lanes = _lanes_for(bshape, len(group))
             if debug:
-                print(f"[engine] bucket {bshape} jobs={len(group)} K={K} "
+                print(f"[engine] bucket {bshape} soma={soma} "
+                      f"jobs={len(group)} K={K} "
                       f"L={L} lanes={lanes} rounds={relax_rounds}", flush=True)
             # group similar-cost labels together to limit vmap stragglers
             group = sorted(group, key=lambda j: -int(np.prod(j["shape"])))
@@ -710,6 +728,7 @@ def trace_batched(
                     pdrf_exponent=pdrf_exponent,
                     fix_branching=bool(fix_branching),
                     has_vg=has_vg, K=K, L=L, relax_rounds=relax_rounds,
+                    soma_possible=soma,
                 )
                 if pending is not None:
                     drain(pending)
@@ -735,7 +754,9 @@ def trace_batched(
                 min(_bucket_dim(int(sd)), int(vs))
                 for sd, vs in zip(job["shape"], vol_shape)
             )
-            todo.setdefault(bshape, []).append(job)
+            dmx = job.get("dbfmax")
+            soma = (dmx is None) or (float(dmx) > soma_cut)
+            todo.setdefault((bshape, soma), []).append(job)
     else:
         leftovers = [j for g in todo.values() for j in g]
         fallback.extend(leftovers)

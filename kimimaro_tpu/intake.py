@@ -202,6 +202,15 @@ def skeletonize(
         with phase("edt"):
             dbf_dev = edtfn_dev(cc_dev)
             dbf_dev.block_until_ready()
+        with phase("label_dbfmax"):
+            # per-label DBF max: lets the engine statically skip the
+            # soma refill/re-EDT branch for labels that cannot trigger it
+            # (reference trace.py:104-119 gates on dbf_max)
+            n_cap = n_components + 1
+            dmax = jnp.zeros((n_cap,), jnp.float32).at[
+                cc_dev.ravel().astype(jnp.int32) % n_cap
+            ].max(dbf_dev.ravel())
+            dbfmax_arr = np.asarray(jax.device_get(dmax))
         counts_map = {i: int(counts[i]) for i in range(1, n_components + 1)}
         bb = {
             i: (bbmin[i], bbmax[i])
@@ -257,6 +266,11 @@ def skeletonize(
             "before": manual_before,
             "after": manual_after,
             "root": root,
+            "dbfmax": (
+                float(dbfmax_arr[segid])
+                if "dbfmax_arr" in locals() and segid < len(dbfmax_arr)
+                else None
+            ),
         })
 
     with phase("trace_batched"):

@@ -195,11 +195,18 @@ def _batched_kernel_factory(costs9, node_mode: bool, clamp_positive: bool,
     return kernel
 
 
-# The axon AOT compiler charges a pallas custom call inside a loop body
-# scoped-vmem proportional to the WHOLE chunk operand (~1.1 MB per M
-# elements observed), against a 16 MB limit — so bound total elements per
-# lane-chunk, not per plane block
-_CHUNK_BUDGET_ELEMS = 8 * 1024 * 1024
+# Scoped-vmem accounting charges the pipelined (B,1,H,W) blocks at their
+# PHYSICAL tile-padded sizes (H to 8 sublanes, W to 128 lanes), times
+# roughly a dozen live buffers (double-buffered ins/out + scratch + branch
+# duplication), against a 16 MB limit. 128K physical plane elems per
+# lane-chunk (= 0.5 MB/buffer) is the empirically safe point: Bc=8 x
+# (128,128,64) compiled and ran; Bc=16 at that shape and Bc=64 x
+# (64,64,32) both tripped the limit.
+_CHUNK_PLANE_BUDGET = 128 * 1024
+
+
+def _phys_plane_elems(H: int, W: int) -> int:
+    return ((H + 7) // 8 * 8) * ((W + 127) // 128 * 128)
 
 
 @functools.partial(
@@ -227,7 +234,7 @@ def sweep_axis0_batched(
             )
             costs9.append(((dy, dz), c))
 
-    bmax = max(1, _CHUNK_BUDGET_ELEMS // (n * H * W))
+    bmax = max(1, _CHUNK_PLANE_BUDGET // _phys_plane_elems(H, W))
 
     def run(db, okb, ncb):
         Bc = db.shape[0]
