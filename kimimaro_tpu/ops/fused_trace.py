@@ -23,6 +23,7 @@ L are sized from max_paths and the crop perimeter).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -45,7 +46,7 @@ INF = np.float32(np.inf)
 # unconverged (observed: every lane's rail chase then wanders for the full
 # path buffer). Static-trip-count fori_loop + an explicit convergence
 # check compiles correctly everywhere and is also kinder to the scheduler.
-RELAX_ROUNDS = 12
+RELAX_ROUNDS = int(os.environ.get("KIMIMARO_TPU_RELAX_ROUNDS", "6"))
 
 
 def _relax_rounds(d, ok, nc, anisotropy, rounds: int, clamp_positive=False,

@@ -399,9 +399,9 @@ def distance_field(
     done = 0
     while done < int(max_rounds):
         d, cflag = _relax_stage(d, ok, nc, vg, anis, node_mode,
-                                bool(clamp_positive), 12, has_vg=has_vg,
+                                bool(clamp_positive), 6, has_vg=has_vg,
                                 conv=conv)
-        done += 13
+        done += 7
         if bool(cflag):
             break
     return d
@@ -621,8 +621,8 @@ def voronoi_feature_field(
     d, f = init_d, init_f
     done = 0
     while done < int(max_rounds):
-        d, f, conv = _voronoi_stage(d, f, ok, anis, 12)
-        done += 13
+        d, f, conv = _voronoi_stage(d, f, ok, anis, 6)
+        done += 7
         if bool(conv):
             break
     return d, f
@@ -718,8 +718,8 @@ def flood_fill(seed_mask, ok_mask, connectivity: int = 6,
     d = jnp.where(ok, init, INF)
     done = 0
     while done < 4096:
-        d, conv = _flood6_stage(ok, d, 12)
-        done += 13
+        d, conv = _flood6_stage(ok, d, 6)
+        done += 7
         if bool(conv):
             break
     return jnp.isfinite(d)
