@@ -210,8 +210,11 @@ def fused_path_loop(
     shape = fg.shape
     anis = jnp.asarray(anisotropy, dtype=jnp.float32)
     r_main = int(relax_rounds)
-    r_ball = max(4, r_main // 2)
-    r_warm = max(3, r_main // 3)
+    # balls are near-convex (2 rounds typical) and the rail re-relax is
+    # warm (often converged already); run them short — the convergence
+    # flags catch and escalate the rare stragglers
+    r_ball = max(2, r_main // 3)
+    r_warm = max(1, r_main // 6)
 
     # initial rail = root
     pdrf = pdrf.at[root[0], root[1], root[2]].set(0.0)

@@ -81,12 +81,16 @@ def box_plane_area(t, normal, anisotropy):
 
 
 @functools.partial(jax.jit, static_argnames=("anisotropy", "rounds"))
-def _sections_batch(fg, verts, normals, anisotropy: Tuple[float, float, float],
-                    rounds: int = 12):
+def _sections_batch(fg, verts, normals, true_shape,
+                    anisotropy: Tuple[float, float, float],
+                    rounds: int = 8):
     """Batched cross sections: for each (vertex, normal) pair, the area of
     the plane section of `fg` connected to the vertex + face-contact bits.
 
-    fg: (X,Y,Z) bool; verts: (B,3) int32 voxel coords; normals: (B,3) unit.
+    fg: (X,Y,Z) bool, bucket-PADDED with False beyond `true_shape` (3,)
+    int32 so one compilation serves every crop in a size class; verts:
+    (B,3) int32 voxel coords; normals: (B,3) unit. Contact bits test the
+    true crop faces, not the padded ones.
     Returns: areas (B,), contacts (B,) uint8, conv (B,) bool — lanes with
     conv=False under-flooded within `rounds` and must be escalated.
     """
@@ -114,8 +118,10 @@ def _sections_batch(fg, verts, normals, anisotropy: Tuple[float, float, float],
 
         contact = jnp.uint8(0)
         for axis in range(3):
-            lo = jnp.any(jnp.take(kept, 0, axis=axis))
-            hi = jnp.any(jnp.take(kept, shape[axis] - 1, axis=axis))
+            lo = jnp.any(jax.lax.index_in_dim(kept, 0, axis, keepdims=False))
+            hi = jnp.any(jax.lax.dynamic_index_in_dim(
+                kept, true_shape[axis] - 1, axis, keepdims=False
+            ))
             contact = contact | (lo.astype(jnp.uint8) << (2 * axis))
             contact = contact | (hi.astype(jnp.uint8) << (2 * axis + 1))
         return area, contact, conv
@@ -135,7 +141,24 @@ def cross_section_areas(
     verts: (N,3) int voxel coords; normals: (N,3) unit physical normals.
     Returns (areas float32 (N,), contacts uint8 (N,)).
     """
-    fg = jnp.asarray(binimg) != 0
+    binimg = np.asarray(binimg)
+    true_shape = jnp.asarray(np.array(binimg.shape, np.int32))
+    # pad crops into power-of-two size classes: one compilation per class
+    # instead of one per label crop
+    def _bdim(x):
+        b = 16
+        while b < x:
+            b <<= 1
+        return b
+    pshape = tuple(_bdim(int(d)) for d in binimg.shape)
+    if pshape != binimg.shape:
+        padded = np.zeros(pshape, dtype=bool)
+        padded[:binimg.shape[0], :binimg.shape[1], :binimg.shape[2]] = (
+            binimg != 0
+        )
+        fg = jnp.asarray(padded)
+    else:
+        fg = jnp.asarray(binimg) != 0
     verts = np.asarray(verts, dtype=np.int32).reshape(-1, 3)
     normals = np.asarray(normals, dtype=np.float32).reshape(-1, 3)
     n = verts.shape[0]
@@ -162,7 +185,8 @@ def cross_section_areas(
         if pad:
             v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
             m = np.concatenate([m, np.tile([[1.0, 0, 0]], (pad, 1))])
-        out = _sections_batch(fg, jnp.asarray(v), jnp.asarray(m), anisotropy)
+        out = _sections_batch(fg, jnp.asarray(v), jnp.asarray(m),
+                              true_shape, anisotropy)
         if pending is not None:
             land(pending)
         pending = (i, pad, out)
@@ -184,7 +208,8 @@ def cross_section_areas(
                 v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
                 m = np.concatenate([m, np.tile([[1.0, 0, 0]], (pad, 1))])
             pa, pc, pv = _sections_batch(
-                fg, jnp.asarray(v), jnp.asarray(m), anisotropy, rounds=rounds
+                fg, jnp.asarray(v), jnp.asarray(m), true_shape, anisotropy,
+                rounds=rounds
             )
             take = len(idx)
             areas[idx] = np.asarray(pa)[:take]
