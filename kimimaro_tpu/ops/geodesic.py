@@ -386,6 +386,12 @@ def distance_field(
     has_vg = voxel_graph is not None
     d = jnp.where(ok, init, INF)
 
+    if rounds is None and isinstance(d, jax.core.Tracer):
+        # inside another trace no host-synced escalation is possible:
+        # run one bounded stage (callers that jit this pass a suitable
+        # max_rounds; convergence is then their contract)
+        rounds = min(int(max_rounds), 64)
+
     if rounds is not None:
         d, _ = _relax_stage(d, ok, nc, vg, anis, node_mode,
                             bool(clamp_positive), int(rounds), has_vg=has_vg,
