@@ -716,23 +716,37 @@ def trace_batched(
                     if max_paths is not None:
                         mp[j] = int(max_paths)
 
-                outs = batched_trace_kernel(
-                    cc_dev, dbf_dev, vg_full,
-                    jnp.asarray(lids), jnp.asarray(offs),
-                    jnp.asarray(bef), jnp.asarray(nbef),
-                    jnp.asarray(aft), jnp.asarray(naft),
-                    jnp.asarray(roots), jnp.asarray(has_root),
-                    jnp.asarray(mp),
-                    jnp.float32(scale), jnp.float32(const),
-                    jnp.float32(sdt), jnp.float32(sat),
-                    jnp.float32(sis), jnp.float32(sic),
-                    jnp.float32(pdrf_scale),
-                    crop_shape=bshape, anisotropy=anis,
-                    pdrf_exponent=pdrf_exponent,
-                    fix_branching=bool(fix_branching),
-                    has_vg=has_vg, K=K, L=L, relax_rounds=relax_rounds,
-                    soma_possible=soma,
-                )
+                outs = None
+                for attempt in range(3):
+                    try:
+                        outs = batched_trace_kernel(
+                            cc_dev, dbf_dev, vg_full,
+                            jnp.asarray(lids), jnp.asarray(offs),
+                            jnp.asarray(bef), jnp.asarray(nbef),
+                            jnp.asarray(aft), jnp.asarray(naft),
+                            jnp.asarray(roots), jnp.asarray(has_root),
+                            jnp.asarray(mp),
+                            jnp.float32(scale), jnp.float32(const),
+                            jnp.float32(sdt), jnp.float32(sat),
+                            jnp.float32(sis), jnp.float32(sic),
+                            jnp.float32(pdrf_scale),
+                            crop_shape=bshape, anisotropy=anis,
+                            pdrf_exponent=pdrf_exponent,
+                            fix_branching=bool(fix_branching),
+                            has_vg=has_vg, K=K, L=L,
+                            relax_rounds=relax_rounds,
+                            soma_possible=soma,
+                        )
+                        break
+                    except jax.errors.JaxRuntimeError as e:
+                        # the remote compile service occasionally drops a
+                        # request mid-flight; retrying is cheap and the
+                        # compilation cache keeps partial progress
+                        if "remote_compile" not in str(e) or attempt == 2:
+                            raise
+                        import time as _time
+
+                        _time.sleep(5.0 * (attempt + 1))
                 if pending is not None:
                     drain(pending)
                 pending = (chunk, outs)
