@@ -210,11 +210,12 @@ def fused_path_loop(
     shape = fg.shape
     anis = jnp.asarray(anisotropy, dtype=jnp.float32)
     r_main = int(relax_rounds)
-    # balls are near-convex (2 rounds typical) and the rail re-relax is
-    # warm (often converged already); run them short — the convergence
-    # flags catch and escalate the rare stragglers
-    r_ball = max(2, r_main // 3)
-    r_warm = max(1, r_main // 6)
+    # balls are near-convex and the rail re-relax starts warm, so they
+    # run shorter than the main fields — but not so short that escalation
+    # retries dominate (measured on the dense 512^3: ball=2/warm=1 retried
+    # 30% of jobs; ball=6/warm=4 retried 0.1%)
+    r_ball = max(3, r_main // 2)
+    r_warm = max(2, r_main // 3)
 
     # initial rail = root
     pdrf = pdrf.at[root[0], root[1], root[2]].set(0.0)
