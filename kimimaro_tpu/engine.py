@@ -683,8 +683,18 @@ def trace_batched(
                 print(f"[engine] bucket {bshape} soma={soma} "
                       f"jobs={len(group)} K={K} "
                       f"L={L} lanes={lanes} rounds={relax_rounds}", flush=True)
-            # group similar-cost labels together to limit vmap stragglers
-            group = sorted(group, key=lambda j: -int(np.prod(j["shape"])))
+            # group similar-cost labels together to limit vmap
+            # stragglers: the batched while_loop runs to the max path
+            # count over lanes, so sort by expected paths (voxels per
+            # invalidation-ball volume), falling back to crop volume
+            def _cost(j):
+                cnt = j.get("count") or int(np.prod(j["shape"]))
+                dmx = j.get("dbfmax")
+                r_vox = max(float(dmx) / max(min(anis), 1e-6), 1.0) \
+                    if dmx else 1.0
+                return (-cnt / (r_vox ** 3), -int(np.prod(j["shape"])))
+
+            group = sorted(group, key=_cost)
             for i in range(0, len(group), lanes):
                 chunk = group[i: i + lanes]
                 B = lanes

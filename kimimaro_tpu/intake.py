@@ -266,6 +266,7 @@ def skeletonize(
             "before": manual_before,
             "after": manual_after,
             "root": root,
+            "count": counts_map.get(segid, 0),
             "dbfmax": (
                 float(dbfmax_arr[segid])
                 if "dbfmax_arr" in locals() and segid < len(dbfmax_arr)
