@@ -58,7 +58,9 @@ def test_sharded_padded_axis(mesh):
 
 def test_sharded_single_label_black_border(mesh):
     # single-label volume exercises the black_border + pad equivalence
-    labels = np.ones((16, 6, 6), dtype=np.uint32)
+    # (same volume shape as two_label_volume so the sharded pipeline
+    # compiles once per process)
+    labels = np.ones((16, 24, 8), dtype=np.uint32)
     single = kimimaro_tpu.skeletonize(
         labels, anisotropy=(1, 1, 1), dust_threshold=10
     )
@@ -69,7 +71,7 @@ def test_sharded_single_label_black_border(mesh):
 
 
 def test_sharded_fix_borders(mesh):
-    labels = np.zeros((16, 8, 8), dtype=np.uint32)
+    labels = np.zeros((16, 24, 8), dtype=np.uint32)
     labels[:, 3:5, 3:5] = 2  # tube hitting both sharded-axis faces
     single = kimimaro_tpu.skeletonize(
         labels, anisotropy=(1, 1, 1), dust_threshold=10, fix_borders=True
