@@ -181,6 +181,12 @@ def main():
     xs_ms_per_vertex = None
     try:
         mid = sorted(skels.values(), key=lambda s: abs(len(s) - 800))[0]
+        # first run compiles (persisted to .jax_cache); the second
+        # measures steady-state, same convention as the skeletonize runs
+        kimimaro_tpu.cross_sectional_area(
+            labels, {mid.id: mid.clone()}, anisotropy=(16, 16, 40),
+            progress=False,
+        )
         t0 = time.perf_counter()
         kimimaro_tpu.cross_sectional_area(
             labels, {mid.id: mid}, anisotropy=(16, 16, 40), progress=False
