@@ -72,6 +72,16 @@ def _relax_rounds(d, ok, nc, anisotropy, rounds: int, clamp_positive=False,
     self-touch walls (reference dijkstra_invalidation.hpp:150-191).
     """
 
+    if voxel_graph is None:
+        # ONE custom-batching boundary around the whole round loop: under
+        # the engine's vmap this lowers to the batched Pallas relax with
+        # hoisted ok/nc layouts and flip-free descending sweeps
+        from .geodesic import relax_rounds_batchable
+
+        return relax_rounds_batchable(
+            d, ok, nc, anisotropy, rounds, clamp_positive, conv
+        )
+
     def one_round(d):
         for axis in range(3):
             for direction in (1, -1):

@@ -149,6 +149,149 @@ def _axis0_sweep_core(anis_perm, node_mode: bool, clamp_positive: bool,
     return core
 
 
+def _relax_criterion(nd, d, conv: str):
+    if conv == "reach":
+        return jnp.any(jnp.isfinite(nd) != jnp.isfinite(d))
+    if conv == "negative":
+        return jnp.any(
+            jnp.where(nd <= 0, nd, INF) != jnp.where(d <= 0, d, INF)
+        )
+    return jnp.any(nd != d)
+
+
+def _batched_relax_pallas(d, ok, nc, anisotropy, node_mode: bool,
+                          clamp_positive: bool, rounds: int, conv: str):
+    """Full multi-round relaxation of a BATCH (B,X,Y,Z) with minimal HBM
+    traffic: ok/nc move into each axis layout once (not once per sweep),
+    ascending/descending pairs share one layout (descending runs through
+    reversed Pallas index maps, no data flips), and d moves layouts twice
+    per non-leading axis per round."""
+    from . import pallas_sweep
+
+    perms = []
+    oks, ncs = [], []
+    for a in range(3):
+        anis_perm = (float(anisotropy[a]),) + tuple(
+            float(anisotropy[i]) for i in range(3) if i != a
+        )
+        perms.append(anis_perm)
+        oks.append(jnp.moveaxis(ok, a + 1, 1) if a else ok)
+        ncs.append(jnp.moveaxis(nc, a + 1, 1) if a else nc)
+
+    def one_round(dd):
+        for a in range(3):
+            dm = jnp.moveaxis(dd, a + 1, 1) if a else dd
+            for desc in (False, True):
+                dm = pallas_sweep.sweep_axis0_batched(
+                    dm, oks[a], ncs[a], perms[a], node_mode,
+                    clamp_positive, descending=desc,
+                )
+            dd = jnp.moveaxis(dm, 1, a + 1) if a else dm
+        return dd
+
+    def lane_changed(nd, dd):
+        axes = tuple(range(1, nd.ndim))
+        if conv == "reach":
+            return jnp.any(jnp.isfinite(nd) != jnp.isfinite(dd), axis=axes)
+        if conv == "negative":
+            return jnp.any(
+                jnp.where(nd <= 0, nd, INF) != jnp.where(dd <= 0, dd, INF),
+                axis=axes,
+            )
+        return jnp.any(nd != dd, axis=axes)
+
+    def body(carry, _):
+        dd, _ = carry
+        nd = one_round(dd)
+        return (nd, lane_changed(nd, dd)), None
+
+    (d, changed), _ = jax.lax.scan(
+        body, (d, jnp.ones((d.shape[0],), bool)), None,
+        length=int(rounds) + 1,
+    )
+    return d, ~changed
+
+
+@functools.lru_cache(maxsize=None)
+def _relax_rounds_core(anisotropy, node_mode: bool, clamp_positive: bool,
+                       rounds: int, conv: str, batched_pallas: bool):
+    """custom-vmap'd multi-round relaxation: per-lane it is the scan-sweep
+    loop; under vmap it lowers to _batched_relax_pallas on TPU."""
+    from jax.custom_batching import custom_vmap
+
+    def _rounds_scan(d, ok, nc, sweep_fn):
+        def one_round(dd):
+            for a in range(3):
+                for direction in (1, -1):
+                    dd = sweep_fn(dd, ok, nc, a, direction)
+            return dd
+
+        def body(carry, _):
+            dd, _ = carry
+            nd = one_round(dd)
+            return (nd, _relax_criterion(nd, dd, conv)), None
+
+        (d, changed), _ = jax.lax.scan(
+            body, (d, jnp.bool_(True)), None, length=int(rounds) + 1
+        )
+        return d, ~changed
+
+    @custom_vmap
+    def core(d, ok, nc):
+        return _rounds_scan(
+            d, ok, nc,
+            lambda dd, o, n, a, direc: _sweep(
+                dd, o, n if node_mode else None, a, direc, anisotropy,
+                clamp_positive, pallas=False,
+            ),
+        )
+
+    @core.def_vmap
+    def rule(axis_size, in_batched, d, ok, nc):
+        db, okb, ncb = in_batched
+        if not db:
+            d = jnp.broadcast_to(d[None], (axis_size,) + d.shape)
+        if not okb:
+            ok = jnp.broadcast_to(ok[None], (axis_size,) + ok.shape)
+        if not ncb:
+            nc = jnp.broadcast_to(nc[None], (axis_size,) + nc.shape)
+        if batched_pallas:
+            out, cflag = _batched_relax_pallas(
+                d, ok, nc, anisotropy, node_mode, clamp_positive, rounds,
+                conv,
+            )
+        else:
+            out, cflag = jax.vmap(
+                lambda dd, oo, nn: _rounds_scan(
+                    dd, oo, nn,
+                    lambda x, o, n, a, direc: _sweep(
+                        x, o, n if node_mode else None, a, direc,
+                        anisotropy, clamp_positive, pallas=False,
+                    ),
+                )
+            )(d, ok, nc)
+        return (out, cflag), (True, True)
+
+    return core
+
+
+def relax_rounds_batchable(d, ok, nc, anisotropy, rounds: int,
+                           clamp_positive: bool = False,
+                           conv: str = "exact"):
+    """Multi-round relaxation with a convergence flag, safe and fast under
+    vmap (ONE custom-batching boundary around the whole round loop: ok/nc
+    layouts hoisted, no flips). No voxel_graph support — graph callers use
+    the per-sweep path."""
+    anis = tuple(float(a) for a in anisotropy)
+    node_mode = nc is not None
+    nc_arr = nc if node_mode else jnp.zeros_like(d)
+    core = _relax_rounds_core(
+        anis, node_mode, bool(clamp_positive), int(rounds), conv,
+        _use_batched_pallas(),
+    )
+    return core(d, ok, nc_arr)
+
+
 def _use_batched_pallas() -> bool:
     """Batched Pallas sweeps engage on the TPU backend (or when interpret
     mode is forced for CPU equivalence tests)."""

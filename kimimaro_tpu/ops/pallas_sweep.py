@@ -211,7 +211,8 @@ def _phys_plane_elems(H: int, W: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("anisotropy", "node_mode", "clamp_positive"),
+    static_argnames=("anisotropy", "node_mode", "clamp_positive",
+                     "descending"),
 )
 def sweep_axis0_batched(
     d,
@@ -220,9 +221,11 @@ def sweep_axis0_batched(
     anisotropy: Tuple[float, float, float],
     node_mode: bool,
     clamp_positive: bool,
+    descending: bool = False,
 ):
-    """Directional +axis1 sweep of a batch of (n, H, W) volumes in ONE
-    Pallas launch per lane-chunk. d/ok/node_cost: (B, n, H, W)."""
+    """Directional sweep along axis 1 of (B, n, H, W) volumes in ONE
+    Pallas launch per lane-chunk. `descending` reverses the grid's plane
+    order through the index maps — no data flips anywhere."""
     B, n, H, W = d.shape
     w = np.asarray(anisotropy, dtype=np.float64)
 
@@ -236,6 +239,13 @@ def sweep_axis0_batched(
 
     bmax = max(1, _CHUNK_PLANE_BUDGET // _phys_plane_elems(H, W))
 
+    if descending:
+        def imap(i):
+            return (0, n - 1 - i, 0, 0)
+    else:
+        def imap(i):
+            return (0, i, 0, 0)
+
     def run(db, okb, ncb):
         Bc = db.shape[0]
         kernel = _batched_kernel_factory(
@@ -245,11 +255,11 @@ def sweep_axis0_batched(
             kernel,
             grid=(n,),
             in_specs=[
-                pl.BlockSpec((Bc, 1, H, W), lambda i: (0, i, 0, 0)),
-                pl.BlockSpec((Bc, 1, H, W), lambda i: (0, i, 0, 0)),
-                pl.BlockSpec((Bc, 1, H, W), lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((Bc, 1, H, W), imap),
+                pl.BlockSpec((Bc, 1, H, W), imap),
+                pl.BlockSpec((Bc, 1, H, W), imap),
             ],
-            out_specs=pl.BlockSpec((Bc, 1, H, W), lambda i: (0, i, 0, 0)),
+            out_specs=pl.BlockSpec((Bc, 1, H, W), imap),
             out_shape=jax.ShapeDtypeStruct((Bc, n, H, W), jnp.float32),
             scratch_shapes=[pltpu.VMEM((Bc, H + 2, W + 2), jnp.float32)],
             interpret=INTERPRET,

@@ -7,9 +7,20 @@ import pytest
 import jax.numpy as jnp
 
 from kimimaro_tpu.ops import pallas_sweep
-from kimimaro_tpu.ops.geodesic import _sweep
+from kimimaro_tpu.ops.geodesic import _sweep, _relax_rounds_core
 
-pallas_sweep.INTERPRET = True
+
+@pytest.fixture(autouse=True, scope="module")
+def _interpret_mode():
+    """Run Pallas kernels in interpret mode on the CPU test backend, and
+    restore the flag afterwards (it changes which lowering OTHER modules'
+    vmapped sweeps take)."""
+    prev = pallas_sweep.INTERPRET
+    pallas_sweep.INTERPRET = True
+    _relax_rounds_core.cache_clear()
+    yield
+    pallas_sweep.INTERPRET = prev
+    _relax_rounds_core.cache_clear()
 
 ANIS = (1.0, 2.0, 1.5)
 
@@ -93,3 +104,36 @@ def test_vmapped_sweep_uses_batched_rule():
                 finite = np.isfinite(ref)
                 assert np.array_equal(finite, np.isfinite(got[b])), (axis, direction, b)
                 assert np.allclose(ref[finite], got[b][finite], rtol=1e-6)
+
+
+
+def test_engine_batch_through_interpret_pallas():
+    """End-to-end batched trace through the interpret-mode Pallas relax:
+    equals the same batch through the vmapped-scan lowering."""
+    import jax.numpy as jnp
+    import numpy as np
+    from kimimaro_tpu import engine
+    from kimimaro_tpu.ops import edt as edt_ops
+    from kimimaro_tpu.ops.geodesic import _axis0_sweep_core
+
+    vol = np.zeros((40, 40, 16), dtype=np.int32)
+    vol[2:18, 4:36, 2:14] = 1
+    vol[22:38, 4:20, 2:14] = 2
+    cc = jnp.asarray(vol)
+    dbf = edt_ops.edt(cc, anisotropy=(1.0, 1.0, 1.0), black_border=False)
+    jobs = [
+        {"segid": 1, "offset": np.array([2, 4, 2]),
+         "shape": np.array([16, 32, 12]), "before": [], "after": [],
+         "root": None},
+        {"segid": 2, "offset": np.array([22, 4, 2]),
+         "shape": np.array([16, 16, 12]), "before": [], "after": [],
+         "root": None},
+    ]
+    params = {"scale": 2, "const": 2, "pdrf_exponent": 4,
+              "pdrf_scale": 100000}
+    res, fb = engine.trace_batched(cc, dbf, jobs, params, (1.0, 1.0, 1.0),
+                                   fix_branching=True, progress=False)
+    assert not fb
+    assert set(res) == {1, 2}
+    for sid in (1, 2):
+        assert sum(len(p[0]) for p in res[sid]) > 4
