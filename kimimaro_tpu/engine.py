@@ -675,6 +675,9 @@ def trace_batched(
                 results[job["segid"]] = out
             pbar.update(done)
 
+        import time as _time
+
+        _t_bucket = _time.perf_counter()
         for (bshape, soma), group in sorted(pass_buckets.items()):
             K = K_CAP
             L = max(int(2 * sum(bshape)), 64)
@@ -685,9 +688,11 @@ def trace_batched(
                 # is only trusted narrow — see MAX_VOXEL_LANES
                 lanes = min(lanes, 4)
             if debug:
+                now = _time.perf_counter()
                 print(f"[engine] bucket {bshape} soma={soma} "
                       f"jobs={len(group)} K={K} "
-                      f"L={L} lanes={lanes} rounds={relax_rounds}", flush=True)
+                      f"L={L} lanes={lanes} rounds={relax_rounds} "
+                      f"t+{now - _t_bucket:.1f}s", flush=True)
             # group similar-cost labels together to limit vmap
             # stragglers: the batched while_loop runs to the max path
             # count over lanes, so sort by expected paths (voxels per

@@ -168,25 +168,36 @@ def _batched_relax_pallas(d, ok, nc, anisotropy, node_mode: bool,
     per non-leading axis per round."""
     from . import pallas_sweep
 
-    perms = []
+    # Per axis, lay the volume out (B, swept, H, W) with the LARGER plane
+    # dim in the lane (last) position: TPU tiles pad the lane dim to 128,
+    # so a thin crop dim there amplifies every sweep's DMA by up to 8x.
+    axis_cfg = []
     oks, ncs = [], []
     for a in range(3):
-        anis_perm = (float(anisotropy[a]),) + tuple(
-            float(anisotropy[i]) for i in range(3) if i != a
+        rem = [i for i in range(3) if i != a]
+        h_dim, w_dim = rem
+        if d.shape[1 + w_dim] < d.shape[1 + h_dim]:
+            h_dim, w_dim = w_dim, h_dim
+        perm_in = (0, 1 + a, 1 + h_dim, 1 + w_dim)
+        perm_out = tuple(int(np.argsort(perm_in)[i]) for i in range(4))
+        anis_perm = (
+            float(anisotropy[a]), float(anisotropy[h_dim]),
+            float(anisotropy[w_dim]),
         )
-        perms.append(anis_perm)
-        oks.append(jnp.moveaxis(ok, a + 1, 1) if a else ok)
-        ncs.append(jnp.moveaxis(nc, a + 1, 1) if a else nc)
+        identity = perm_in == (0, 1, 2, 3)
+        axis_cfg.append((perm_in, perm_out, anis_perm, identity))
+        oks.append(ok if identity else jnp.transpose(ok, perm_in))
+        ncs.append(nc if identity else jnp.transpose(nc, perm_in))
 
     def one_round(dd):
-        for a in range(3):
-            dm = jnp.moveaxis(dd, a + 1, 1) if a else dd
+        for a, (perm_in, perm_out, anis_perm, identity) in enumerate(axis_cfg):
+            dm = dd if identity else jnp.transpose(dd, perm_in)
             for desc in (False, True):
                 dm = pallas_sweep.sweep_axis0_batched(
-                    dm, oks[a], ncs[a], perms[a], node_mode,
+                    dm, oks[a], ncs[a], anis_perm, node_mode,
                     clamp_positive, descending=desc,
                 )
-            dd = jnp.moveaxis(dm, 1, a + 1) if a else dm
+            dd = dm if identity else jnp.transpose(dm, perm_out)
         return dd
 
     def lane_changed(nd, dd):
