@@ -1,0 +1,341 @@
+"""Full-volume label-masked directional sweeps — the global engine's core.
+
+The batched crop engine (kimimaro_tpu.engine) relaxes each label inside its
+own padded crop; at dense label counts (the reference's headline 512^3 /
+2124-component workload, /root/reference/benchmarks/benchmark.py:10-35) the
+power-of-two crop buckets overlap so much that the device sweeps ~8x the
+volume's voxels per relaxation, split across ~70 small launches.
+
+Since connected components PARTITION the foreground, every label's geodesic
+field can instead be computed in ONE set of sweeps over the full volume:
+propagation between voxels is admitted only when their compact cc ids are
+equal, which makes each label's field bit-identical to the crop engine's
+single-label relaxation (background and other labels read as +inf, exactly
+like crop boundaries). One Pallas launch sweeps 512 full (512,512) planes —
+~80x fewer sequential grid steps than the bucketed crop schedule.
+
+Sweep semantics match ops.geodesic._sweep: plane i is relaxed from plane
+i-1 through the nine (dy, dz) offsets; six directed sweeps make one round;
+rounds repeat to a fixpoint that equals the exact Dijkstra distance
+(reference dijkstra3d semantics, /root/reference/kimimaro/trace.py:139-158).
+
+Modes:
+  euclid:   new = min(cur, min9(prev_same_label + step_cost))
+  node:     new = min(cur, min9(prev_same_label) + nodecost[cur])
+  maxflood: new = max(cur, max9(prev_same_label))   (per-label max
+            broadcast: turns per-label scalars like dbf_max into a volume
+            without any 134M-element gather/scatter)
+clamp_positive resets positives to +inf (rolling-ball invalidation,
+reference dijkstra_invalidation.hpp:239-332); `okmask` additionally
+restricts occupancy (valid ∪ ball sources).
+
+Non-axis-0 sweeps run on transposed layouts so every launch streams
+lane-aligned (H, W>=128) planes; descending sweeps reverse the grid's
+index maps (no data flips).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = np.float32(np.inf)
+NEG_INF = np.float32(-np.inf)
+
+
+def _use_pallas() -> bool:
+    from . import pallas_sweep
+
+    if pallas_sweep.INTERPRET:
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _costs9(anis_perm) -> list:
+    out = []
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            c = np.float32(np.sqrt(
+                anis_perm[0] ** 2
+                + (dy * anis_perm[1]) ** 2
+                + (dz * anis_perm[2]) ** 2
+            ))
+            out.append(((dy, dz), c))
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Pallas kernel
+
+
+def _kernel_factory(costs9, mode: str, clamp_positive: bool, has_ok: bool,
+                    H: int, W: int):
+    """Grid walks the swept axis; the previously relaxed plane and its cc
+    ids ride VMEM scratch with an INF/-1 border so the nine neighbor reads
+    are static slices. At grid step 0 the scratch border values make the
+    relax a pass-through of plane 0 (the scan init carry in the crop
+    engine's sweeps — non-occupied voxels are +inf there by invariant)."""
+    fill = NEG_INF if mode == "maxflood" else INF
+
+    def kernel(*refs):
+        if mode == "node":
+            if has_ok:
+                d_ref, cc_ref, nc_ref, ok_ref, out_ref, prev_ref, pcc_ref = refs
+            else:
+                d_ref, cc_ref, nc_ref, out_ref, prev_ref, pcc_ref = refs
+        else:
+            nc_ref = None
+            if has_ok:
+                d_ref, cc_ref, ok_ref, out_ref, prev_ref, pcc_ref = refs
+            else:
+                d_ref, cc_ref, out_ref, prev_ref, pcc_ref = refs
+
+        import jax.experimental.pallas as pl
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            prev_ref[...] = jnp.full((H + 2, W + 2), fill, jnp.float32)
+            pcc_ref[...] = jnp.full((H + 2, W + 2), -1, jnp.int32)
+
+        cur = d_ref[0]
+        ccc = cc_ref[0]
+        occupied = ccc > 0
+        if has_ok:
+            occupied = occupied & (ok_ref[0] != 0)
+
+        cand = jnp.full_like(cur, fill)
+        for (dy, dz), c in costs9:
+            sv = prev_ref[1 + dy:1 + dy + H, 1 + dz:1 + dz + W]
+            sc = pcc_ref[1 + dy:1 + dy + H, 1 + dz:1 + dz + W]
+            sv = jnp.where(sc == ccc, sv, fill)
+            if mode == "euclid":
+                sv = sv + c
+            if mode == "maxflood":
+                cand = jnp.maximum(cand, sv)
+            else:
+                cand = jnp.minimum(cand, sv)
+        if mode == "node":
+            cand = cand + nc_ref[0]
+        if mode == "maxflood":
+            new = jnp.where(occupied, jnp.maximum(cur, cand), fill)
+        else:
+            new = jnp.where(occupied, jnp.minimum(cur, cand), fill)
+            if clamp_positive:
+                new = jnp.where(new > 0.0, INF, new)
+        out_ref[0] = new
+        prev_ref[1:H + 1, 1:W + 1] = new
+        # occupancy folds into the carried cc ids so blocked voxels never
+        # propagate (matches crop sweeps where non-ok voxels hold +inf)
+        pcc_ref[1:H + 1, 1:W + 1] = jnp.where(occupied, ccc, -1)
+
+    return kernel
+
+
+def _sweep0_pallas(d, cc, nodecost, okmask, anis_perm,
+                   mode: str, clamp_positive: bool, descending: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from . import pallas_sweep
+
+    n, H, W = d.shape
+    costs9 = _costs9(anis_perm)
+    has_ok = okmask is not None
+    kernel = _kernel_factory(costs9, mode, clamp_positive, has_ok, H, W)
+
+    if descending:
+        def imap(i):
+            return (n - 1 - i, 0, 0)
+    else:
+        def imap(i):
+            return (i, 0, 0)
+
+    spec = pl.BlockSpec((1, H, W), imap)
+    ins = [d, cc]
+    in_specs = [spec, spec]
+    if mode == "node":
+        ins.append(nodecost)
+        in_specs.append(spec)
+    if has_ok:
+        ins.append(okmask)
+        in_specs.append(spec)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((H + 2, W + 2), jnp.float32),
+            pltpu.VMEM((H + 2, W + 2), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=pallas_sweep.INTERPRET,
+    )(*ins)
+
+
+# --------------------------------------------------------------------------- #
+# Scan (CPU/reference) form
+
+
+def _shift2(p, dy, dz, fill):
+    from .stencils import shifted
+
+    return shifted(p, (dy, dz), fill)
+
+
+def _sweep0_scan(d, cc, nodecost, okmask, anis_perm,
+                 mode: str, clamp_positive: bool, descending: bool):
+    fill = NEG_INF if mode == "maxflood" else INF
+    costs9 = _costs9(anis_perm)
+
+    if descending:
+        d = d[::-1]
+        cc = cc[::-1]
+        nodecost = nodecost[::-1] if nodecost is not None else None
+        okmask = okmask[::-1] if okmask is not None else None
+
+    occ = cc > 0
+    if okmask is not None:
+        occ = occ & (okmask != 0)
+    cc_eff = jnp.where(occ, cc, -1)
+
+    def step(carry, x):
+        prev_v, prev_c = carry
+        if mode == "node":
+            cur, ccc, occc, ncc = x
+        else:
+            cur, ccc, occc = x
+        cand = jnp.full_like(cur, fill)
+        for (dy, dz), c in costs9:
+            sv = _shift2(prev_v, dy, dz, fill)
+            sc = _shift2(prev_c, dy, dz, -1)
+            sv = jnp.where(sc == ccc, sv, fill)
+            if mode == "euclid":
+                sv = sv + c
+            if mode == "maxflood":
+                cand = jnp.maximum(cand, sv)
+            else:
+                cand = jnp.minimum(cand, sv)
+        if mode == "node":
+            cand = cand + ncc
+        if mode == "maxflood":
+            new = jnp.where(occc, jnp.maximum(cur, cand), fill)
+        else:
+            new = jnp.where(occc, jnp.minimum(cur, cand), fill)
+            if clamp_positive:
+                new = jnp.where(new > 0.0, INF, new)
+        return (new, jnp.where(occc, ccc, -1)), new
+
+    # plane 0 passes through with the same occupancy masking the kernel
+    # applies (non-occupied voxels are +inf/-inf by caller invariant)
+    if mode == "maxflood":
+        first = jnp.where(occ[0], d[0], fill)
+    else:
+        first = jnp.where(occ[0], d[0], fill)
+        if clamp_positive:
+            first = jnp.where(first > 0.0, INF, first)
+    xs = (d[1:], cc[1:], occ[1:])
+    if mode == "node":
+        xs = xs + (nodecost[1:],)
+    (_, _), rest = jax.lax.scan(step, (first, jnp.where(occ[0], cc[0], -1)), xs)
+    out = jnp.concatenate([first[None], rest], axis=0)
+    if descending:
+        out = out[::-1]
+    return out
+
+
+def sweep0(d, cc, nodecost, okmask, anis_perm, mode: str,
+           clamp_positive: bool, descending: bool):
+    """One directed sweep along axis 0 of an (n, H, W) volume."""
+    if _use_pallas():
+        return _sweep0_pallas(d, cc, nodecost, okmask, anis_perm, mode,
+                              clamp_positive, descending)
+    return _sweep0_scan(d, cc, nodecost, okmask, anis_perm, mode,
+                        clamp_positive, descending)
+
+
+# --------------------------------------------------------------------------- #
+# Round/relax driver
+
+# layout cycle: xyz --x sweeps--> (1,0,2) = yxz --y sweeps-->
+#               (2,1,0) of yxz = zxy --z sweeps--> (1,2,0) back to xyz
+_PERM_TO_Y = (1, 0, 2)
+_PERM_Y_TO_Z = (2, 1, 0)
+_PERM_Z_TO_X = (1, 2, 0)
+
+
+class MaskViews:
+    """The three layout views of the static per-relax operands (cc ids and,
+    when present, nodecost/okmask). cc views are built once per volume and
+    reused across every relaxation of a skeletonize call."""
+
+    __slots__ = ("x", "y", "z")
+
+    def __init__(self, vol, dtype=None):
+        v = vol if dtype is None else vol.astype(dtype)
+        self.x = v
+        self.y = jnp.transpose(v, _PERM_TO_Y)
+        self.z = jnp.transpose(self.y, _PERM_Y_TO_Z)
+
+
+def one_round(d, cc_v: MaskViews, nc_v: Optional[MaskViews],
+              ok_v: Optional[MaskViews], anisotropy, mode: str,
+              clamp_positive: bool):
+    """One full round: +-x, +-y, +-z sweeps with layout rotation."""
+    ax, ay, az = (float(a) for a in anisotropy)
+
+    def pair(dd, ccv, ncv, okv, anis_perm):
+        dd = sweep0(dd, ccv, ncv, okv, anis_perm, mode, clamp_positive, False)
+        dd = sweep0(dd, ccv, ncv, okv, anis_perm, mode, clamp_positive, True)
+        return dd
+
+    nc = (None, None, None) if nc_v is None else (nc_v.x, nc_v.y, nc_v.z)
+    ok = (None, None, None) if ok_v is None else (ok_v.x, ok_v.y, ok_v.z)
+
+    d = pair(d, cc_v.x, nc[0], ok[0], (ax, ay, az))
+    d = jnp.transpose(d, _PERM_TO_Y)
+    d = pair(d, cc_v.y, nc[1], ok[1], (ay, ax, az))
+    d = jnp.transpose(d, _PERM_Y_TO_Z)
+    d = pair(d, cc_v.z, nc[2], ok[2], (az, ax, ay))
+    return jnp.transpose(d, _PERM_Z_TO_X)
+
+
+def relax_full(d, cc_v: MaskViews, nc_v, ok_v, anisotropy, rounds: int,
+               mode: str = "euclid", clamp_positive: bool = False,
+               conv: str = "exact"):
+    """`rounds` full rounds with a static trip count; the final round
+    doubles as the convergence check (same contract as
+    ops.fused_trace._relax_rounds — data-dependent while fixpoints
+    miscompile on the tunneled TPU backend). Returns (d, converged)."""
+
+    def criterion(nd, dd):
+        if conv == "reach":
+            return jnp.any(jnp.isfinite(nd) != jnp.isfinite(dd))
+        if conv == "negative":
+            return jnp.any(
+                jnp.where(nd <= 0, nd, INF) != jnp.where(dd <= 0, dd, INF)
+            )
+        return jnp.any(nd != dd)
+
+    def body(carry, _):
+        dd, _ = carry
+        nd = one_round(dd, cc_v, nc_v, ok_v, anisotropy, mode,
+                       clamp_positive)
+        return (nd, criterion(nd, dd)), None
+
+    (d, changed), _ = jax.lax.scan(
+        body, (d, jnp.bool_(True)), None, length=int(rounds) + 1
+    )
+    return d, ~changed

@@ -1,0 +1,181 @@
+"""Equivalence of the global full-volume masked sweeps (ops.gsweep) with
+the crop engine's per-label relaxations (ops.fused_trace._relax_rounds).
+
+Connected components partition the foreground, so a cc-masked full-volume
+relaxation restricted to one label's bbox must be bit-identical to relaxing
+that label alone in its crop (background/other labels == +inf == crop
+boundary)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kimimaro_tpu.ops import gsweep
+from kimimaro_tpu.ops.fused_trace import _relax_rounds
+
+INF = np.float32(np.inf)
+
+
+def _three_blob_volume():
+    """Three 26-connected labels with irregular shapes in a 20x18x14 box."""
+    rng = np.random.RandomState(7)
+    vol = np.zeros((20, 18, 14), dtype=np.int32)
+    vol[2:9, 2:9, 2:7] = 1
+    vol[11:19, 3:12, 3:12] = 2
+    vol[3:8, 11:17, 6:13] = 3
+    # roughen the shapes (keep connectivity by only carving boundaries)
+    for lab, sl in ((1, np.s_[2:9, 2:9, 2:7]), (2, np.s_[11:19, 3:12, 3:12]),
+                    (3, np.s_[3:8, 11:17, 6:13])):
+        m = vol[sl]
+        carve = rng.rand(*m.shape) < 0.2
+        carve[1:-1, 1:-1, 1:-1] = False
+        m[carve] = 0
+    return vol
+
+
+ANIS = (16.0, 16.0, 40.0)
+
+
+def _crop_field(vol, lab, init_fn, mode, clamp=False, conv="exact",
+                okmask=None, nodecost=None, rounds=8):
+    """Per-label crop relaxation via the crop engine's primitive."""
+    pos = np.argwhere(vol == lab)
+    mn, mx = pos.min(0), pos.max(0)
+    sl = tuple(slice(a, b + 1) for a, b in zip(mn, mx))
+    fg = jnp.asarray(vol[sl] == lab)
+    d0 = jnp.asarray(init_fn(sl))
+    ok = fg if okmask is None else (fg & jnp.asarray(okmask[sl]))
+    nc = None if nodecost is None else jnp.asarray(
+        np.where(vol[sl] == lab, nodecost[sl], np.inf).astype(np.float32))
+    out, convf = _relax_rounds(d0, ok, nc, ANIS, rounds,
+                               clamp_positive=clamp, conv=conv)
+    return np.asarray(out), sl, np.asarray(fg)
+
+
+def test_euclid_matches_crop_relax():
+    vol = _three_blob_volume()
+    cc_v = gsweep.MaskViews(jnp.asarray(vol))
+
+    # one source per label: the lexicographically-first voxel
+    d0 = np.full(vol.shape, np.inf, dtype=np.float32)
+    srcs = {}
+    for lab in (1, 2, 3):
+        p = np.argwhere(vol == lab)[0]
+        srcs[lab] = p
+        d0[tuple(p)] = 0.0
+
+    out, convf = gsweep.relax_full(
+        jnp.asarray(d0), cc_v, None, None, ANIS, rounds=8, mode="euclid")
+    out = np.asarray(out)
+    assert bool(convf)
+
+    for lab in (1, 2, 3):
+        def init(sl):
+            d = np.full(vol[sl].shape, np.inf, dtype=np.float32)
+            d[tuple(srcs[lab] - [s.start for s in sl])] = 0.0
+            return d
+
+        ref, sl, fg = _crop_field(vol, lab, init, "euclid")
+        np.testing.assert_array_equal(out[sl][fg], ref[fg])
+
+
+def test_node_mode_matches_crop_relax():
+    vol = _three_blob_volume()
+    rng = np.random.RandomState(3)
+    pdrf = (rng.rand(*vol.shape).astype(np.float32) * 100 + 1)
+    cc_v = gsweep.MaskViews(jnp.asarray(vol))
+    nc_v = gsweep.MaskViews(
+        jnp.asarray(np.where(vol > 0, pdrf, np.inf).astype(np.float32)))
+
+    d0 = np.full(vol.shape, np.inf, dtype=np.float32)
+    srcs = {}
+    for lab in (1, 2, 3):
+        p = np.argwhere(vol == lab)[-1]
+        srcs[lab] = p
+        d0[tuple(p)] = 0.0
+
+    out, convf = gsweep.relax_full(
+        jnp.asarray(d0), cc_v, nc_v, None, ANIS, rounds=8, mode="node")
+    out = np.asarray(out)
+    assert bool(convf)
+
+    for lab in (1, 2, 3):
+        def init(sl):
+            d = np.full(vol[sl].shape, np.inf, dtype=np.float32)
+            d[tuple(srcs[lab] - [s.start for s in sl])] = 0.0
+            return d
+
+        ref, sl, fg = _crop_field(vol, lab, init, "node", nodecost=pdrf)
+        np.testing.assert_array_equal(out[sl][fg], ref[fg])
+
+
+def test_ball_mode_matches_crop_relax():
+    """clamp_positive + okmask: the rolling-ball invalidation field."""
+    vol = _three_blob_volume()
+    rng = np.random.RandomState(11)
+    valid = (rng.rand(*vol.shape) < 0.8) & (vol > 0)
+
+    d0 = np.full(vol.shape, np.inf, dtype=np.float32)
+    srcs = {}
+    for lab in (1, 2, 3):
+        p = np.argwhere(vol == lab)[2]
+        srcs[lab] = p
+        d0[tuple(p)] = -80.0  # ball radius 80nm
+        valid[tuple(p)] = True
+
+    cc_v = gsweep.MaskViews(jnp.asarray(vol))
+    ok_v = gsweep.MaskViews(jnp.asarray(valid.astype(np.uint8)))
+
+    out, convf = gsweep.relax_full(
+        jnp.asarray(d0), cc_v, None, ok_v, ANIS, rounds=8, mode="euclid",
+        clamp_positive=True, conv="negative")
+    out = np.asarray(out)
+    assert bool(convf)
+
+    for lab in (1, 2, 3):
+        def init(sl):
+            d = np.full(vol[sl].shape, np.inf, dtype=np.float32)
+            d[tuple(srcs[lab] - [s.start for s in sl])] = -80.0
+            return d
+
+        ref, sl, fg = _crop_field(vol, lab, init, "euclid", clamp=True,
+                                  conv="negative", okmask=valid)
+        got = out[sl]
+        # compare the negative (= ball) sets and their values
+        np.testing.assert_array_equal(
+            np.where(got[fg] <= 0, got[fg], np.inf),
+            np.where(ref[fg] <= 0, ref[fg], np.inf),
+        )
+
+
+def test_maxflood_broadcasts_per_label_max():
+    vol = _three_blob_volume()
+    rng = np.random.RandomState(5)
+    dbf = np.where(vol > 0, rng.rand(*vol.shape).astype(np.float32) * 50, 0)
+
+    cc_v = gsweep.MaskViews(jnp.asarray(vol))
+    d0 = jnp.asarray(np.where(vol > 0, dbf, -np.inf).astype(np.float32))
+    out, convf = gsweep.relax_full(
+        d0, cc_v, None, None, ANIS, rounds=8, mode="maxflood")
+    out = np.asarray(out)
+    assert bool(convf)
+
+    for lab in (1, 2, 3):
+        m = vol == lab
+        assert np.allclose(out[m], dbf[m].max())
+
+
+def test_unconverged_flag_on_too_few_rounds():
+    """A winding component needs more rounds than a convex one; with
+    rounds=0 the convergence flag must read False (one check round runs)."""
+    vol = np.zeros((30, 6, 6), dtype=np.int32)
+    vol[:, 1, 1] = 1
+    vol[0:30:4, 1:5, 1] = 1  # comb: many direction reversals
+    d0 = np.full(vol.shape, np.inf, dtype=np.float32)
+    d0[(0, 1, 1)] = 0.0
+    cc_v = gsweep.MaskViews(jnp.asarray(vol))
+    out, convf = gsweep.relax_full(
+        jnp.asarray(d0), cc_v, None, None, ANIS, rounds=0, mode="euclid")
+    assert not bool(convf)
