@@ -1,0 +1,635 @@
+"""Global trace engine: every label's TEASAR trace in full-volume passes.
+
+The batched crop engine (kimimaro_tpu.engine) vmaps the whole per-label
+trace over bucketed crops. At dense label counts that schedule decomposes
+into ~70 small launches whose power-of-two crops cover ~8x the volume, and
+each launch pays its own batch-max path straggling — measured 81% of wall
+time on the reference's headline workload (512^3, 2124 labels;
+/root/reference/benchmarks/benchmark.py:10-35).
+
+This engine exploits that connected components PARTITION the foreground:
+
+  * every geodesic field of the TEASAR pipeline (root probe, DAF, PDRF
+    rail distance, rolling-ball invalidation — reference
+    kimimaro/trace.py:121-168,225-263) is computed for ALL labels at once
+    as ONE cc-masked relaxation over the full volume (ops.gsweep), with
+    full (H, W) planes per Pallas grid step;
+  * per-label argmax/target selection gathers fixed-shape crops around
+    each label's bbox (vmapped dynamic_slice) — flat-index argmax order
+    inside any containing crop equals global (x,y,z)-lex order, so
+    tie-breaks match the crop engine exactly;
+  * all labels chase their paths simultaneously (vmapped pointer walks on
+    the shared rail field, window-masked by cc);
+  * the path loop advances in lock-step host iterations: iteration k runs
+    path k of every still-active label, so total relaxation work is
+    max-paths-over-labels rounds over one volume instead of
+    sum-over-buckets of batch-max rounds over 8x-padded crops.
+
+Labels the global pass cannot hold (bbox exceeding the gather crop, soma
+candidates — their hole-fill/re-EDT branch is per-label by nature
+(reference trace.py:104-119) — manual-target overflow, voxel_graph
+volumes) fall through to the crop engine untouched.
+
+Exactness: gsweep's masked relaxations are bit-identical to the crop
+engine's per-label fields (tests/test_gsweep.py); every consumer here
+(argmax, chase, invalidation) masks by cc id, so results match
+engine.trace_batched up to shared floating-point ties
+(tests/test_gengine.py pins equality on tie-free fixtures).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import gsweep
+from .ops.fused_trace import RELAX_ROUNDS
+
+INF = np.float32(np.inf)
+
+T_CAP = 16     # manual-target slots per label (same cap as the crop engine)
+K_ITER = 24    # lock-step path iterations (p90 over the dense workload: 5)
+EXTRA_ROUND_STAGES = 3  # warm +rounds continuations before giving up
+
+# default gather-crop ceiling; the actual crop adapts to the workload's
+# bbox distribution (see _pick_crop) but never exceeds this
+G_CROP_MAX = (256, 256, 256)
+
+
+def _pow2_at_least(n: int) -> int:
+    b = 16
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _pick_crop(jobs, vol_shape) -> Tuple[int, int, int]:
+    """Fixed gather-crop shape: per-axis 95th-percentile bbox extent
+    rounded up to a power of two (one compiled program covers ~all labels;
+    outliers fall back to the crop engine)."""
+    if not jobs:
+        return tuple(min(16, int(v)) for v in vol_shape)
+    dims = np.array([j["shape"] for j in jobs], dtype=np.int64)
+    p95 = np.percentile(dims, 95, axis=0)
+    crop = []
+    for a in range(3):
+        c = _pow2_at_least(int(np.ceil(p95[a])))
+        crop.append(int(min(c, G_CROP_MAX[a], int(vol_shape[a]))))
+    return tuple(crop)
+
+
+# --------------------------------------------------------------------------- #
+# device helpers
+
+
+def _crop_argmax(packed, cc16, offs, lids, crop: Tuple[int, int, int],
+                 chunk: int = 128):
+    """Per-label argmax of a globally packed f32 field over the label's
+    voxels inside its gather crop. Returns (flat_idx_in_crop (N,), value
+    (N,)). Lane-chunked scan bounds the materialized crops."""
+
+    def one(off, lid):
+        c = jax.lax.dynamic_slice(packed, (off[0], off[1], off[2]), crop)
+        l = jax.lax.dynamic_slice(cc16, (off[0], off[1], off[2]), crop)
+        v = jnp.where(l == lid, c, -INF).ravel()
+        idx = jnp.argmax(v)
+        return idx, v[idx]
+
+    n = offs.shape[0]
+    ch = min(chunk, n)
+    pad = (-n) % ch
+    offs_p = jnp.pad(offs, ((0, pad), (0, 0)))
+    lids_p = jnp.pad(lids.astype(jnp.uint16), (0, pad))
+
+    def body(_, x):
+        o, l = x
+        return None, jax.vmap(one)(o, l)
+
+    _, (idx, val) = jax.lax.scan(
+        body, None,
+        (offs_p.reshape(-1, ch, 3), lids_p.reshape(-1, ch)),
+    )
+    return idx.reshape(-1)[:n], val.reshape(-1)[:n]
+
+
+def _unflatten_crop(idx, offs, crop):
+    """Crop-flat argmax index -> global (x, y, z) coords."""
+    cy = crop[1] * crop[2]
+    x = idx // cy
+    r = idx - x * cy
+    y = r // crop[2]
+    z = r - y * crop[2]
+    return offs + jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+
+
+def _chase_global(d_pad, cc_pad, starts, lids, L: int, vol_shape):
+    """All labels chase the shared rail field at once: per lane a 26-
+    neighbor descent to the nearest rail (d <= 0), window-masked to the
+    lane's label. Mirrors ops.fused_trace._chase (first-minimum tie break
+    in lexicographic offset order). Returns (flat_path (N, L) int32 with
+    -1 padding, plen (N,), reached (N,))."""
+    sy = vol_shape[1] * vol_shape[2]
+    sz = vol_shape[2]
+
+    def one(start, lid):
+        def cond(state):
+            i, cur, path, done = state
+            return (~done) & (i < L)
+
+        def body(state):
+            i, cur, path, done = state
+            flat = (cur[0] * sy + cur[1] * sz + cur[2]).astype(jnp.int32)
+            path = path.at[i].set(flat)
+            dcur = d_pad[cur[0] + 1, cur[1] + 1, cur[2] + 1]
+            at_rail = dcur <= 0.0
+            win = jax.lax.dynamic_slice(
+                d_pad, (cur[0], cur[1], cur[2]), (3, 3, 3)).reshape(27)
+            wcc = jax.lax.dynamic_slice(
+                cc_pad, (cur[0], cur[1], cur[2]), (3, 3, 3)).reshape(27)
+            win = jnp.where(wcc == lid, win, INF)
+            win = win.at[13].set(INF)
+            k = jnp.argmin(win)
+            off = jnp.stack([k // 9 - 1, (k // 3) % 3 - 1, k % 3 - 1])
+            nxt = cur + off.astype(jnp.int32)
+            cur = jnp.where(at_rail, cur, nxt)
+            return i + 1, cur, path, done | at_rail
+
+        path0 = jnp.full((L,), -1, dtype=jnp.int32)
+        i, cur, path, done = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), start.astype(jnp.int32), path0,
+                         jnp.bool_(False)))
+        return path, i, done
+
+    return jax.vmap(one)(starts, lids)
+
+
+# --------------------------------------------------------------------------- #
+# jitted phases (volumes always passed as args: closure-captured arrays
+# embed into the HLO and trip the remote compiler's request limits)
+
+
+@functools.partial(jax.jit, static_argnames=("anisotropy", "rounds"))
+def _probe_phase(cc_x, cc_y, cc_z, firstvox, anisotropy, rounds):
+    cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
+    d0 = jnp.full(cc_x.shape, INF, dtype=jnp.float32)
+    d0 = d0.at[firstvox[:, 0], firstvox[:, 1], firstvox[:, 2]].set(0.0)
+    return gsweep.relax_full(d0, cc_v, None, None, anisotropy, rounds,
+                             mode="euclid")
+
+
+@functools.partial(jax.jit, static_argnames=("anisotropy", "rounds", "mode"))
+def _relax_cont(d, cc_x, cc_y, cc_z, anisotropy, rounds, mode):
+    """Warm continuation: more rounds on an existing field (escalation
+    without re-running from scratch)."""
+    cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
+    return gsweep.relax_full(d, cc_v, None, None, anisotropy, rounds,
+                             mode=mode)
+
+
+@functools.partial(jax.jit, static_argnames=("crop", "anisotropy", "rounds"))
+def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
+                    roots_in, has_root, crop, anisotropy, rounds):
+    """auto roots from the probe field, then the DAF relaxation
+    (reference trace.py:121-148)."""
+    cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
+    packed = jnp.where(jnp.isfinite(probe), probe, -INF)
+    idx, _ = _crop_argmax(packed, cc16, offs, lids, crop)
+    auto_root = _unflatten_crop(idx, offs, crop)
+    roots = jnp.where(has_root[:, None], roots_in, auto_root)
+
+    d0 = jnp.full(probe.shape, INF, dtype=jnp.float32)
+    d0 = d0.at[roots[:, 0], roots[:, 1], roots[:, 2]].set(0.0)
+    daf, conv = gsweep.relax_full(d0, cc_v, None, None, anisotropy, rounds,
+                                  mode="euclid")
+    return roots, daf, conv
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "crop", "anisotropy", "rounds", "pdrf_exponent"))
+def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
+                     roots, crop, anisotropy, rounds, pdrf_exponent,
+                     pdrf_scale):
+    """PDRF from the DBF + DAF (reference trace.py:315-356, exact crop
+    engine formula engine._one_label) and the initial rail field."""
+    cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
+    fg = cc_x > 0
+    daf = jnp.where(jnp.isfinite(daf), daf, 0.0)
+
+    # per-label max DAF (normalization term) via crop argmax
+    packed = jnp.where(fg, daf, -INF)
+    _, max_daf = _crop_argmax(packed, cc16, offs, lids, crop)
+    inv_maxdaf = jnp.where(max_daf > 0, 1.0 / jnp.maximum(max_daf, 1e-30),
+                           0.0)
+    # broadcast per-label scalars to voxels through the compact cc id
+    m_vol = m_table[cc_x]
+    imd_vol = jnp.zeros_like(m_table).at[lids].set(inv_maxdaf)[cc_x]
+
+    dbf_inf = jnp.where(dbf == 0, INF, dbf)
+    p = 1.0 - dbf_inf * m_vol
+    e = int(pdrf_exponent)
+    if e > 0 and (e & (e - 1)) == 0:
+        while e > 1:
+            p = p * p
+            e >>= 1
+    else:
+        p = jnp.power(p, e)
+    pdrf = p * pdrf_scale + daf * imd_vol
+    pdrf = jnp.where(fg, pdrf, INF).astype(jnp.float32)
+    pdrf = pdrf.at[roots[:, 0], roots[:, 1], roots[:, 2]].set(0.0)
+
+    d0 = jnp.full(dbf.shape, INF, dtype=jnp.float32)
+    d0 = d0.at[roots[:, 0], roots[:, 1], roots[:, 2]].set(0.0)
+    nc_v = gsweep.MaskViews(pdrf)
+    d_rail, conv = gsweep.relax_full(d0, cc_v, nc_v, None, anisotropy,
+                                     rounds, mode="node")
+    return daf, pdrf, d_rail, conv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("crop", "anisotropy", "r_ball", "r_warm",
+                     "fix_branching", "L"),
+    donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
+)
+def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
+               it,
+               daf, dbf, cc_x, cc_y, cc_z, cc16, cc_pad,
+               offs, lids, roots,
+               before_stack, after_stack, max_paths_arr,
+               scale, const,
+               crop, anisotropy, r_ball, r_warm, fix_branching, L):
+    """One lock-step path iteration for every still-active label:
+    target -> chase -> rolling-ball invalidation -> rail rezero + warm
+    re-relax (reference trace.py:225-263; exact semantics from
+    engine._one_label's loop body)."""
+    vol_shape = daf.shape
+    cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
+    N = lids.shape[0]
+
+    # --- target selection
+    packed = jnp.where(valid != 0, daf, -INF)
+    am_idx, am_val = _crop_argmax(packed, cc16, offs, lids, crop)
+    auto_t = _unflatten_crop(am_idx, offs, crop)
+    has_valid = am_val > -INF
+
+    use_before = nb > 0
+    use_after = (~use_before) & (~has_valid) & (na > 0)
+    bt = before_stack[jnp.arange(N), jnp.maximum(nb - 1, 0)]
+    at = after_stack[jnp.arange(N), jnp.maximum(na - 1, 0)]
+    target = jnp.where(use_before[:, None], bt,
+                       jnp.where(use_after[:, None], at, auto_t))
+
+    work = has_valid | (nb > 0) | (na > 0)
+    active = work & (~done) & (it < max_paths_arr)
+    nb = jnp.where(active & use_before, nb - 1, nb)
+    na = jnp.where(active & use_after, na - 1, na)
+
+    # inactive lanes chase from their root: at-rail on step 0, zero cost
+    start = jnp.where(active[:, None], target, roots)
+
+    # --- chase on the shared rail field
+    d_pad = jnp.pad(d_rail, 1, constant_values=INF)
+    path_flat, plen, reached = _chase_global(
+        d_pad, cc_pad, start, lids, L, vol_shape)
+    overflow = active & (~reached)
+    plen = jnp.where(active, plen, 0)
+
+    pmask = (jnp.arange(L)[None, :] < plen[:, None]) & active[:, None]
+    pf = jnp.where(pmask, path_flat, 0)
+
+    # --- rolling-ball invalidation (reference trace.py:253-259)
+    radii = scale * dbf.ravel()[pf] + const
+    ball0 = jnp.full(vol_shape, INF, dtype=jnp.float32).ravel()
+    ball0 = ball0.at[pf].min(jnp.where(pmask, -radii, INF))
+    ball0 = ball0.reshape(vol_shape)
+    ok = valid.ravel().at[pf].max(pmask.astype(valid.dtype)).reshape(vol_shape)
+    ok_v = gsweep.MaskViews(ok)
+    ball_d, conv_b = gsweep.relax_full(
+        ball0, cc_v, None, ok_v, anisotropy, r_ball, mode="euclid",
+        clamp_positive=True, conv="negative")
+    ball = ball_d <= 0.0
+    valid = jnp.where(ball, 0, valid).astype(valid.dtype)
+
+    # --- new rails (reference trace.py:261-263)
+    if fix_branching:
+        zero = jnp.where(pmask, 0.0, INF)
+        pdrf = pdrf.ravel().at[pf].min(zero).reshape(vol_shape)
+        d_rail = d_rail.ravel().at[pf].min(zero).reshape(vol_shape)
+        nc_v = gsweep.MaskViews(pdrf)
+        d_rail, conv_w = gsweep.relax_full(
+            d_rail, cc_v, nc_v, None, anisotropy, r_warm, mode="node")
+    else:
+        conv_w = jnp.bool_(True)
+
+    # --- bookkeeping
+    path_buf = jax.lax.dynamic_update_slice(
+        path_buf, path_flat[None].astype(jnp.int32), (it, 0, 0))
+    len_buf = jax.lax.dynamic_update_slice(
+        len_buf,
+        jnp.stack([plen.astype(jnp.int16),
+                   active.astype(jnp.int16),
+                   overflow.astype(jnp.int16)], axis=-1)[None],
+        (it, 0, 0))
+    done = done | (~work) | overflow
+    any_active = jnp.any(active)
+    return (valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
+            any_active, conv_b & conv_w)
+
+
+@jax.jit
+def _drain(path_buf, dbf, gather_idx):
+    flat = path_buf.reshape(-1)[gather_idx]
+    radii = dbf.ravel()[flat]
+    return flat, radii
+
+
+# --------------------------------------------------------------------------- #
+# host driver
+
+
+def trace_global(
+    cc_dev,
+    dbf_dev,
+    jobs: List[dict],
+    teasar_params: dict,
+    anisotropy: Sequence[float],
+    fix_branching: bool,
+    firstvox_arr: Optional[np.ndarray] = None,
+    progress: bool = False,
+) -> Tuple[Dict[int, List[Tuple[np.ndarray, np.ndarray]]], List[dict]]:
+    """Run eligible labels through the global engine.
+
+    Same contract as engine.trace_batched: returns ({segid: [(verts,
+    radii), ...]}, leftover_jobs). Path vertices come back in the job's
+    bbox frame, rail-first, exactly like the crop engine. Leftover jobs
+    (ineligible or failed labels) must be run through engine.trace_batched
+    by the caller.
+    """
+    p = dict(teasar_params)
+    scale = float(p.get("scale", 10))
+    const = float(p.get("const", 10))
+    pdrf_scale = float(p.get("pdrf_scale", 5000))
+    pdrf_exponent = int(p.get("pdrf_exponent", 16))
+    sdt = float(p.get("soma_detection_threshold", 1100))
+    sat = float(p.get("soma_acceptance_threshold", 4000))
+    max_paths = p.get("max_paths", None)
+    anis = tuple(float(a) for a in anisotropy)
+    soma_cut = min(sdt, sat)
+
+    vol_shape = tuple(int(s) for s in cc_dev.shape)
+
+    # --- eligibility split
+    eligible: List[dict] = []
+    leftover: List[dict] = []
+    for job in jobs:
+        dmx = job.get("dbfmax")
+        soma_possible = (dmx is None) or (float(dmx) > soma_cut)
+        n_b, n_a = len(job["before"]), len(job["after"])
+        blocked = (max_paths is not None) and (n_b + n_a) >= int(max_paths)
+        if soma_possible or n_b > T_CAP or n_a > T_CAP or blocked:
+            leftover.append(job)
+        else:
+            eligible.append(job)
+
+    crop = _pick_crop(eligible, vol_shape)
+    fits = [j for j in eligible
+            if all(int(s) <= c for s, c in zip(j["shape"], crop))]
+    refit = [j for j in eligible
+             if not all(int(s) <= c for s, c in zip(j["shape"], crop))]
+    leftover.extend(refit)
+    eligible = fits
+
+    if len(eligible) < 2:
+        # the global fixed cost only pays for itself across many labels
+        return {}, leftover + eligible
+
+    N = len(eligible)
+    L = max(2 * sum(crop), 64)
+    r_main = RELAX_ROUNDS
+    r_ball = max(3, r_main // 2)
+    r_warm = max(2, r_main // 3)
+
+    # --- host-side job arrays (global frame)
+    lids = np.zeros(N, dtype=np.int32)
+    offs = np.zeros((N, 3), dtype=np.int32)
+    roots_in = np.zeros((N, 3), dtype=np.int32)
+    has_root = np.zeros(N, dtype=bool)
+    before_stack = np.zeros((N, T_CAP, 3), dtype=np.int32)
+    nb0 = np.zeros(N, dtype=np.int32)
+    after_stack = np.zeros((N, T_CAP, 3), dtype=np.int32)
+    na0 = np.zeros(N, dtype=np.int32)
+    max_paths_arr = np.full(N, K_ITER + 1, dtype=np.int32)
+    job_off = np.zeros((N, 3), dtype=np.int64)
+
+    for i, job in enumerate(eligible):
+        lids[i] = job["segid"]
+        mn = np.asarray(job["offset"], dtype=np.int64)
+        job_off[i] = mn
+        off = np.minimum(mn, np.asarray(vol_shape) - np.asarray(crop))
+        offs[i] = np.maximum(off, 0)
+        for t_i, t in enumerate(job["before"]):
+            before_stack[i, t_i] = np.asarray(t, dtype=np.int64) + mn
+        nb0[i] = len(job["before"])
+        for t_i, t in enumerate(job["after"]):
+            after_stack[i, t_i] = np.asarray(t, dtype=np.int64) + mn
+        na0[i] = len(job["after"])
+        if job.get("root") is not None:
+            roots_in[i] = np.asarray(job["root"], dtype=np.int64) + mn
+            has_root[i] = True
+        if max_paths is not None:
+            max_paths_arr[i] = int(max_paths)
+
+    # first foreground voxel per label (lexicographic min = the crop
+    # engine's argmax(fg.ravel()) in any containing crop)
+    if firstvox_arr is not None:
+        firstvox = firstvox_arr[lids]
+    else:
+        flat_first = np.asarray(jax.device_get(_first_voxels(cc_dev, int(
+            np.max(lids)) + 1)))
+        firstvox = np.stack(np.unravel_index(
+            np.minimum(flat_first[lids], np.prod(vol_shape) - 1), vol_shape),
+            axis=-1)
+    firstvox = firstvox.astype(np.int32)
+
+    # PDRF per-label M (reference trace.py:329-333: M = dbf_max ** 1.01);
+    # eligibility required a host-known dbf max, and non-soma labels never
+    # refill, so the job's value equals the in-kernel max the crop engine
+    # would recompute
+    n_tab = int(np.max(lids)) + 1
+    m_table = np.zeros(n_tab, dtype=np.float32)
+    for i, job in enumerate(eligible):
+        dmx = np.float32(job["dbfmax"])
+        m_table[lids[i]] = np.float32(1.0) / np.power(
+            np.maximum(dmx, np.float32(1e-30)), np.float32(1.01),
+            dtype=np.float32)
+
+    # --- device arrays
+    cc_x = cc_dev.astype(jnp.int32)
+    cc_y = jnp.transpose(cc_x, gsweep._PERM_TO_Y)
+    cc_z = jnp.transpose(cc_y, gsweep._PERM_Y_TO_Z)
+    cc16 = cc_x.astype(jnp.uint16)
+    cc_pad = jnp.pad(cc16, 1, constant_values=0)
+    dbf = dbf_dev.astype(jnp.float32)
+
+    lids_d = jnp.asarray(lids)
+    offs_d = jnp.asarray(offs)
+
+    def _continue_until(field, conv, mode="euclid"):
+        stages = 0
+        while not bool(conv) and stages < EXTRA_ROUND_STAGES:
+            field, conv = _relax_cont(field, cc_x, cc_y, cc_z, anis, 4, mode)
+            stages += 1
+        return field, bool(conv)
+
+    # --- setup fields
+    probe, conv = _probe_phase(cc_x, cc_y, cc_z, jnp.asarray(firstvox),
+                               anis, r_main)
+    probe, okc = _continue_until(probe, conv)
+    if not okc:
+        return {}, leftover + eligible
+
+    roots, daf, conv = _root_daf_phase(
+        probe, cc_x, cc_y, cc_z, cc16, offs_d, lids_d,
+        jnp.asarray(roots_in), jnp.asarray(has_root), crop, anis, r_main)
+    daf, okc = _continue_until(daf, conv)
+    if not okc:
+        return {}, leftover + eligible
+    del probe
+
+    daf, pdrf, d_rail, conv = _pdrf_rail_phase(
+        daf, dbf, jnp.asarray(m_table), cc_x, cc_y, cc_z, cc16,
+        offs_d, lids_d, roots, crop, anis, r_main, pdrf_exponent,
+        jnp.float32(pdrf_scale))
+    d_rail, okc = _continue_until(d_rail, conv, mode="node")
+    # an unconverged rail yields wandering chases; the per-label
+    # structural gate below catches any survivor, so proceed
+
+    # --- lock-step path loop
+    valid = (cc_x > 0).astype(jnp.uint8)
+    nb = jnp.asarray(nb0)
+    na = jnp.asarray(na0)
+    done = jnp.zeros((N,), dtype=bool)
+    path_buf = jnp.full((K_ITER, N, L), -1, dtype=jnp.int32)
+    len_buf = jnp.zeros((K_ITER, N, 3), dtype=jnp.int16)
+
+    before_d = jnp.asarray(before_stack)
+    after_d = jnp.asarray(after_stack)
+    mp_d = jnp.asarray(max_paths_arr)
+    roots_h = roots  # device (N, 3)
+
+    pending_flags = []  # (it, any_active, conv) device scalars
+    clean_through = K_ITER  # first iteration index with a convergence issue
+    last_it = K_ITER
+
+    for it in range(K_ITER):
+        (valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
+         any_active, conv_ok) = _iteration(
+            valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
+            jnp.int32(it),
+            daf, dbf, cc_x, cc_y, cc_z, cc16, cc_pad,
+            offs_d, lids_d, roots_h,
+            before_d, after_d, mp_d,
+            jnp.float32(scale), jnp.float32(const),
+            crop, anis, r_ball, r_warm, bool(fix_branching), L)
+        pending_flags.append((it, any_active, conv_ok))
+        # stay one iteration ahead of the flag fetch: check it-1 while
+        # iteration `it` runs on device
+        if len(pending_flags) >= 2:
+            pit, pact, pconv = pending_flags.pop(0)
+            if not bool(pconv):
+                clean_through = min(clean_through, pit)
+                last_it = pit + 1
+                break
+            if not bool(pact):
+                last_it = pit + 1
+                break
+    for pit, pact, pconv in pending_flags:
+        if pit < last_it:
+            if not bool(pconv):
+                clean_through = min(clean_through, pit)
+                last_it = min(last_it, pit + 1)
+            elif not bool(pact):
+                last_it = min(last_it, pit + 1)
+
+    # --- drain
+    lens = np.asarray(jax.device_get(len_buf))  # (K_ITER, N, 3) i16
+    plens = lens[:, :, 0].astype(np.int64)
+    actives = lens[:, :, 1].astype(bool)
+    overflows = lens[:, :, 2].astype(bool)
+
+    # a convergence failure at iteration c taints every label still active
+    # at c (their later fields were relaxed from an unconverged state)
+    tainted = np.zeros(N, dtype=bool)
+    if clean_through < K_ITER:
+        tainted |= actives[clean_through:last_it].any(axis=0)
+    # labels still active after the iteration cap never finished
+    if last_it >= K_ITER:
+        tainted |= actives[K_ITER - 1]
+    tainted |= overflows.any(axis=0)
+
+    # gather indices for live path rows (iteration-major)
+    keep = actives.copy()
+    keep[:, tainted] = False
+    keep &= plens > 0
+    idx_list = []
+    meta = []  # (label_idx, iteration, length)
+    for it in range(min(last_it, K_ITER)):
+        for n in np.nonzero(keep[it])[0]:
+            ln = int(plens[it, n])
+            base = (it * N + n) * L
+            idx_list.append(np.arange(base, base + ln, dtype=np.int64))
+            meta.append((n, it, ln))
+
+    results: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+    if idx_list:
+        gidx = jnp.asarray(np.concatenate(idx_list))
+        flat, radii = jax.device_get(_drain(path_buf, dbf, gidx))
+        flat = np.asarray(flat)
+        radii = np.asarray(radii)
+
+        from .engine import _paths_structurally_valid
+
+        pos = 0
+        per_label: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+        for (n, it, ln) in meta:
+            f = flat[pos: pos + ln]
+            r = radii[pos: pos + ln]
+            pos += ln
+            verts = np.stack(np.unravel_index(f, vol_shape), axis=-1)
+            # device rows run target->rail; reference rail-first order
+            verts = verts[::-1] - job_off[n]
+            r = r[::-1]
+            per_label.setdefault(n, []).append((verts.astype(np.int64), r))
+
+        for n, paths in per_label.items():
+            if not _paths_structurally_valid(paths):
+                tainted[n] = True
+                continue
+            results[int(lids[n])] = paths
+
+    for n in np.nonzero(tainted)[0]:
+        results.pop(int(lids[n]), None)
+        leftover.append(eligible[n])
+
+    try:
+        from .utils import profiling
+        profiling.count("gengine_jobs", N - int(tainted.sum()))
+        profiling.count("gengine_fallback", int(tainted.sum()))
+    except Exception:
+        pass
+
+    return results, leftover
+
+
+@functools.partial(jax.jit, static_argnames=("n_cap",))
+def _first_voxels(cc_dev, n_cap: int):
+    """Per-label minimum flat index (the lexicographically-first voxel)."""
+    flat = cc_dev.ravel().astype(jnp.int32)
+    n = flat.shape[0]
+    lin = jnp.arange(n, dtype=jnp.int32)
+    return jnp.full((n_cap,), n, dtype=jnp.int32).at[flat].min(lin)

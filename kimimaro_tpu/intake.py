@@ -275,12 +275,47 @@ def skeletonize(
         })
 
     with phase("trace_batched"):
+        results = {}
+        crop_jobs = jobs
+        import os as _os
+
+        use_global = (
+            vg_dev is None
+            and _os.environ.get("KIMIMARO_TPU_GLOBAL_ENGINE", "1") != "0"
+        )
+        if use_global:
+            # the global engine runs every eligible label's trace in
+            # full-volume lock-step passes; ineligible/failed labels fall
+            # through to the batched crop engine below
+            from . import gengine
+
+            firstvox_arr = None
+            if not host_stages:
+                # rep_prefix encodes each component's lexicographically-
+                # first voxel (compact ids are first-appearance ordered)
+                fv_flat = np.asarray(jax.device_get(jnp.searchsorted(
+                    rep_prefix,
+                    jnp.arange(1, n_components + 1, dtype=jnp.int32),
+                )))
+                fv_flat = np.minimum(fv_flat, all_labels.size - 1)
+                firstvox_arr = np.zeros((n_components + 1, 3), np.int32)
+                firstvox_arr[1:] = np.stack(
+                    np.unravel_index(fv_flat, cc_dev.shape), axis=-1
+                )
+            g_results, crop_jobs = gengine.trace_global(
+                cc_dev, dbf_dev, jobs, teasar_params, anisotropy,
+                fix_branching, firstvox_arr=firstvox_arr,
+                progress=progress,
+            )
+            results.update(g_results)
+
         # self-touch (voxel_graph) volumes ride the same batched engine:
         # the walls thread through every in-kernel sweep/EDT/chase
-        results, fallback_jobs = engine.trace_batched(
-            cc_dev, dbf_dev, jobs, teasar_params, anisotropy,
+        crop_results, fallback_jobs = engine.trace_batched(
+            cc_dev, dbf_dev, crop_jobs, teasar_params, anisotropy,
             fix_branching, progress=progress, voxel_graph=vg_dev,
         )
+        results.update(crop_results)
     profiling.count("engine_jobs", len(jobs) - len(fallback_jobs))
     profiling.count("fallback_jobs", len(fallback_jobs))
 

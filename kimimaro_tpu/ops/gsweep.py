@@ -289,6 +289,14 @@ class MaskViews:
         self.y = jnp.transpose(v, _PERM_TO_Y)
         self.z = jnp.transpose(self.y, _PERM_Y_TO_Z)
 
+    @classmethod
+    def from_views(cls, x, y, z):
+        """Wrap pre-transposed views (lets jits take them as plain args
+        instead of re-transposing static volumes every call)."""
+        self = cls.__new__(cls)
+        self.x, self.y, self.z = x, y, z
+        return self
+
 
 def one_round(d, cc_v: MaskViews, nc_v: Optional[MaskViews],
               ok_v: Optional[MaskViews], anisotropy, mode: str,

@@ -1,0 +1,139 @@
+"""The global full-volume engine must reproduce the batched crop engine's
+skeletons exactly (same fields by ops.gsweep equivalence, same argmax
+tie-break order, same chase and invalidation semantics)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import kimimaro_tpu
+
+
+TEASAR = {
+    "scale": 1.5,
+    "const": 30,
+    "pdrf_exponent": 4,
+    "pdrf_scale": 100000,
+    "soma_detection_threshold": 1e9,  # keep every label global-eligible
+    "soma_acceptance_threshold": 1e9,
+}
+
+
+def _blob_volume(seed=0, shape=(40, 36, 30), n_seeds=6):
+    """Several irregular 26-connected blobs (random growth from seeds;
+    asymmetric so DAF/probe argmaxes are tie-free)."""
+    rng = np.random.RandomState(seed)
+    vol = np.zeros(shape, dtype=np.uint32)
+    for lab in range(1, n_seeds + 1):
+        c = rng.randint(4, np.array(shape) - 4)
+        r = rng.randint(3, 7, size=3)
+        x, y, z = np.ogrid[:shape[0], :shape[1], :shape[2]]
+        e = (((x - c[0]) / r[0]) ** 2 + ((y - c[1]) / (r[1] * 1.3)) ** 2
+             + ((z - c[2]) / r[2]) ** 2)
+        noise = rng.rand(*shape) * 0.4
+        m = (e + noise) < 1.0
+        vol[m & (vol == 0)] = lab
+    return vol
+
+
+def _skels(vol, enabled, **kw):
+    os.environ["KIMIMARO_TPU_GLOBAL_ENGINE"] = "1" if enabled else "0"
+    try:
+        return kimimaro_tpu.skeletonize(
+            vol, teasar_params=TEASAR, anisotropy=(16, 16, 40),
+            dust_threshold=10, progress=False, **kw)
+    finally:
+        os.environ.pop("KIMIMARO_TPU_GLOBAL_ENGINE", None)
+
+
+def _assert_same(a, b):
+    assert set(a.keys()) == set(b.keys())
+    for k in a:
+        sa, sb = a[k], b[k]
+        va = sa.vertices[np.lexsort(sa.vertices.T)]
+        vb = sb.vertices[np.lexsort(sb.vertices.T)]
+        np.testing.assert_array_equal(va, vb)
+        # edges as canonical vertex-coordinate pairs
+        def edge_set(s):
+            v = s.vertices
+            es = set()
+            for e in s.edges:
+                p, q = tuple(v[e[0]]), tuple(v[e[1]])
+                es.add((min(p, q), max(p, q)))
+            return es
+        assert edge_set(sa) == edge_set(sb)
+        ra = {tuple(v): r for v, r in zip(sa.vertices, sa.radii)}
+        rb = {tuple(v): r for v, r in zip(sb.vertices, sb.radii)}
+        for v in ra:
+            assert ra[v] == rb[v]
+
+
+def test_global_matches_crop_engine_basic():
+    vol = _blob_volume(seed=1)
+    a = _skels(vol, True, fix_borders=False)
+    b = _skels(vol, False, fix_borders=False)
+    assert len(a) >= 3
+    _assert_same(a, b)
+
+
+def test_global_matches_with_fix_borders():
+    vol = _blob_volume(seed=2)
+    vol[:3] = 0
+    vol[0, 10:20, 10:18] = 7  # touching the border -> border targets
+    vol[1, 10:20, 10:18] = 7
+    vol[2, 11:19, 11:17] = 7
+    a = _skels(vol, True, fix_borders=True)
+    b = _skels(vol, False, fix_borders=True)
+    _assert_same(a, b)
+
+
+def test_global_matches_fix_branching_false():
+    vol = _blob_volume(seed=3)
+    a = _skels(vol, True, fix_branching=False, fix_borders=False)
+    b = _skels(vol, False, fix_branching=False, fix_borders=False)
+    _assert_same(a, b)
+
+
+def test_global_matches_with_max_paths():
+    vol = _blob_volume(seed=4)
+    tp = dict(TEASAR, max_paths=2)
+    os.environ["KIMIMARO_TPU_GLOBAL_ENGINE"] = "1"
+    try:
+        a = kimimaro_tpu.skeletonize(vol, teasar_params=tp,
+                                     anisotropy=(16, 16, 40),
+                                     dust_threshold=10, fix_borders=False)
+    finally:
+        os.environ["KIMIMARO_TPU_GLOBAL_ENGINE"] = "0"
+    try:
+        b = kimimaro_tpu.skeletonize(vol, teasar_params=tp,
+                                     anisotropy=(16, 16, 40),
+                                     dust_threshold=10, fix_borders=False)
+    finally:
+        os.environ.pop("KIMIMARO_TPU_GLOBAL_ENGINE", None)
+    _assert_same(a, b)
+
+
+def test_soma_labels_fall_through_to_crop_engine():
+    """With real soma thresholds a thick blob must still skeletonize
+    (routed to the crop engine) and match the global-disabled run."""
+    vol = np.zeros((30, 30, 20), dtype=np.uint32)
+    vol[4:26, 4:26, 4:16] = 1   # thick -> dbf_max can exceed threshold
+    vol[2:6, 2:6, 2:6] = 2
+    tp = dict(TEASAR, soma_detection_threshold=100,
+              soma_acceptance_threshold=150,
+              soma_invalidation_scale=0.5, soma_invalidation_const=0)
+    os.environ["KIMIMARO_TPU_GLOBAL_ENGINE"] = "1"
+    try:
+        a = kimimaro_tpu.skeletonize(vol, teasar_params=tp,
+                                     anisotropy=(16, 16, 40),
+                                     dust_threshold=10, fix_borders=False)
+    finally:
+        os.environ["KIMIMARO_TPU_GLOBAL_ENGINE"] = "0"
+    try:
+        b = kimimaro_tpu.skeletonize(vol, teasar_params=tp,
+                                     anisotropy=(16, 16, 40),
+                                     dust_threshold=10, fix_borders=False)
+    finally:
+        os.environ.pop("KIMIMARO_TPU_GLOBAL_ENGINE", None)
+    _assert_same(a, b)
