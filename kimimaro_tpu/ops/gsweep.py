@@ -47,7 +47,12 @@ INF = np.float32(np.inf)
 NEG_INF = np.float32(-np.inf)
 
 
+_FORCE: Optional[str] = None  # "pallas" | "scan" | None (auto): test hook
+
+
 def _use_pallas() -> bool:
+    if _FORCE is not None:
+        return _FORCE == "pallas"
     from . import pallas_sweep
 
     if pallas_sweep.INTERPRET:
