@@ -173,22 +173,36 @@ def _chase_global(d_pad, cc_pad, starts, lids, L: int, vol_shape):
 # embed into the HLO and trip the remote compiler's request limits)
 
 
+@functools.partial(jax.jit, static_argnames=("crop",))
+def _nc_reduce(mask, cc16, offs, lids, crop):
+    """Per-label any() of a voxel change mask: cc partitions the
+    foreground, so the label owning a changed voxel is the only label that
+    change can affect. Called only on the (rare) unconverged dispatches."""
+    packed = jnp.where(mask, 1.0, -INF).astype(jnp.float32)
+    _, val = _crop_argmax(packed, cc16, offs, lids, crop)
+    return val > 0.0
+
+
 @functools.partial(jax.jit, static_argnames=("anisotropy", "rounds"))
 def _probe_phase(cc_x, cc_y, cc_z, firstvox, anisotropy, rounds):
     cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
     d0 = jnp.full(cc_x.shape, INF, dtype=jnp.float32)
     d0 = d0.at[firstvox[:, 0], firstvox[:, 1], firstvox[:, 2]].set(0.0)
-    return gsweep.relax_full(d0, cc_v, None, None, anisotropy, rounds,
-                             mode="euclid")
+    d, mask = gsweep.relax_full(d0, cc_v, None, None, anisotropy, rounds,
+                                mode="euclid", return_mask=True)
+    return d, mask, jnp.sum(mask, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("anisotropy", "rounds", "mode"))
-def _relax_cont(d, cc_x, cc_y, cc_z, anisotropy, rounds, mode):
+def _relax_cont(d, cc_x, cc_y, cc_z, nodecost, anisotropy, rounds, mode):
     """Warm continuation: more rounds on an existing field (escalation
-    without re-running from scratch)."""
+    without re-running from scratch). `nodecost` is None except for
+    mode="node" (the rail field's PDRF)."""
     cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
-    return gsweep.relax_full(d, cc_v, None, None, anisotropy, rounds,
-                             mode=mode)
+    nc_v = None if nodecost is None else gsweep.MaskViews(nodecost)
+    d, mask = gsweep.relax_full(d, cc_v, nc_v, None, anisotropy, rounds,
+                                mode=mode, return_mask=True)
+    return d, mask, jnp.sum(mask, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("crop", "anisotropy", "rounds"))
@@ -204,9 +218,9 @@ def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
 
     d0 = jnp.full(probe.shape, INF, dtype=jnp.float32)
     d0 = d0.at[roots[:, 0], roots[:, 1], roots[:, 2]].set(0.0)
-    daf, conv = gsweep.relax_full(d0, cc_v, None, None, anisotropy, rounds,
-                                  mode="euclid")
-    return roots, daf, conv
+    daf, mask = gsweep.relax_full(d0, cc_v, None, None, anisotropy, rounds,
+                                  mode="euclid", return_mask=True)
+    return roots, daf, mask, jnp.sum(mask, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -245,9 +259,9 @@ def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
     d0 = jnp.full(dbf.shape, INF, dtype=jnp.float32)
     d0 = d0.at[roots[:, 0], roots[:, 1], roots[:, 2]].set(0.0)
     nc_v = gsweep.MaskViews(pdrf)
-    d_rail, conv = gsweep.relax_full(d0, cc_v, nc_v, None, anisotropy,
-                                     rounds, mode="node")
-    return daf, pdrf, d_rail, conv
+    d_rail, mask = gsweep.relax_full(d0, cc_v, nc_v, None, anisotropy,
+                                     rounds, mode="node", return_mask=True)
+    return daf, pdrf, d_rail, mask, jnp.sum(mask, dtype=jnp.int32)
 
 
 @functools.partial(
@@ -309,9 +323,9 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
     ball0 = ball0.reshape(vol_shape)
     ok = valid.ravel().at[pf].max(pmask.astype(valid.dtype)).reshape(vol_shape)
     ok_v = gsweep.MaskViews(ok)
-    ball_d, conv_b = gsweep.relax_full(
+    ball_d, ball_mask = gsweep.relax_full(
         ball0, cc_v, None, ok_v, anisotropy, r_ball, mode="euclid",
-        clamp_positive=True, conv="negative")
+        clamp_positive=True, conv="negative", return_mask=True)
     ball = ball_d <= 0.0
     valid = jnp.where(ball, 0, valid).astype(valid.dtype)
 
@@ -321,10 +335,12 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
         pdrf = pdrf.ravel().at[pf].min(zero).reshape(vol_shape)
         d_rail = d_rail.ravel().at[pf].min(zero).reshape(vol_shape)
         nc_v = gsweep.MaskViews(pdrf)
-        d_rail, conv_w = gsweep.relax_full(
-            d_rail, cc_v, nc_v, None, anisotropy, r_warm, mode="node")
+        d_rail, rail_mask = gsweep.relax_full(
+            d_rail, cc_v, nc_v, None, anisotropy, r_warm, mode="node",
+            return_mask=True)
+        nc_mask = ball_mask | rail_mask
     else:
-        conv_w = jnp.bool_(True)
+        nc_mask = ball_mask
 
     # --- bookkeeping
     path_buf = jax.lax.dynamic_update_slice(
@@ -336,9 +352,10 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
                    overflow.astype(jnp.int16)], axis=-1)[None],
         (it, 0, 0))
     done = done | (~work) | overflow
-    any_active = jnp.any(active)
+    stats = jnp.stack([jnp.sum(active, dtype=jnp.int32),
+                       jnp.sum(nc_mask, dtype=jnp.int32)])
     return (valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
-            any_active, conv_b & conv_w)
+            stats, nc_mask)
 
 
 @jax.jit
@@ -382,6 +399,11 @@ def trace_global(
     soma_cut = min(sdt, sat)
 
     vol_shape = tuple(int(s) for s in cc_dev.shape)
+
+    # the global pass carries compact cc ids as uint16 (cc16/_crop_argmax);
+    # id spaces beyond that ride the crop engine unchanged
+    if jobs and max(int(j["segid"]) for j in jobs) >= (1 << 16):
+        return {}, list(jobs)
 
     # --- eligibility split
     eligible: List[dict] = []
@@ -479,41 +501,46 @@ def trace_global(
     lids_d = jnp.asarray(lids)
     offs_d = jnp.asarray(offs)
 
-    def _continue_until(field, conv, mode="euclid"):
+    setup_taint = np.zeros(N, dtype=bool)
+
+    def _continue_until(field, mask, n_chg, mode="euclid", nodecost=None):
+        """Escalate an unconverged setup relax with warm continuations;
+        labels still changing afterwards are tainted individually (cc
+        masking means an unconverged label corrupts only itself)."""
         stages = 0
-        while not bool(conv) and stages < EXTRA_ROUND_STAGES:
-            field, conv = _relax_cont(field, cc_x, cc_y, cc_z, anis, 4, mode)
+        while int(n_chg) > 0 and stages < EXTRA_ROUND_STAGES:
+            field, mask, n_chg = _relax_cont(
+                field, cc_x, cc_y, cc_z, nodecost, anis, 4, mode)
             stages += 1
-        return field, bool(conv)
+        if int(n_chg) > 0:
+            bits = np.asarray(jax.device_get(
+                _nc_reduce(mask, cc16, offs_d, lids_d, crop)))
+            setup_taint[:] |= bits
+        return field
 
     # --- setup fields
-    probe, conv = _probe_phase(cc_x, cc_y, cc_z, jnp.asarray(firstvox),
-                               anis, r_main)
-    probe, okc = _continue_until(probe, conv)
-    if not okc:
-        return {}, leftover + eligible
+    probe, mask, n_chg = _probe_phase(cc_x, cc_y, cc_z,
+                                      jnp.asarray(firstvox), anis, r_main)
+    probe = _continue_until(probe, mask, n_chg)
 
-    roots, daf, conv = _root_daf_phase(
+    roots, daf, mask, n_chg = _root_daf_phase(
         probe, cc_x, cc_y, cc_z, cc16, offs_d, lids_d,
         jnp.asarray(roots_in), jnp.asarray(has_root), crop, anis, r_main)
-    daf, okc = _continue_until(daf, conv)
-    if not okc:
-        return {}, leftover + eligible
+    daf = _continue_until(daf, mask, n_chg)
     del probe
 
-    daf, pdrf, d_rail, conv = _pdrf_rail_phase(
+    daf, pdrf, d_rail, mask, n_chg = _pdrf_rail_phase(
         daf, dbf, jnp.asarray(m_table), cc_x, cc_y, cc_z, cc16,
         offs_d, lids_d, roots, crop, anis, r_main, pdrf_exponent,
         jnp.float32(pdrf_scale))
-    d_rail, okc = _continue_until(d_rail, conv, mode="node")
-    # an unconverged rail yields wandering chases; the per-label
-    # structural gate below catches any survivor, so proceed
+    d_rail = _continue_until(d_rail, mask, n_chg, mode="node",
+                             nodecost=pdrf)
 
     # --- lock-step path loop
     valid = (cc_x > 0).astype(jnp.uint8)
     nb = jnp.asarray(nb0)
     na = jnp.asarray(na0)
-    done = jnp.zeros((N,), dtype=bool)
+    done = jnp.asarray(setup_taint)  # tainted labels skip the loop
     path_buf = jnp.full((K_ITER, N, L), -1, dtype=jnp.int32)
     len_buf = jnp.zeros((K_ITER, N, 3), dtype=jnp.int16)
 
@@ -522,13 +549,28 @@ def trace_global(
     mp_d = jnp.asarray(max_paths_arr)
     roots_h = roots  # device (N, 3)
 
-    pending_flags = []  # (it, any_active, conv) device scalars
-    clean_through = K_ITER  # first iteration index with a convergence issue
+    # each label's last full-volume iteration costs the same as the
+    # first's, so once the active set is this small the crop engine
+    # finishes the stragglers cheaper than more lock-step rounds
+    bail_n = int(os.environ.get("KIMIMARO_TPU_GENGINE_BAIL",
+                                str(max(4, N // 64))))
+
+    pending = []  # (it, stats (2,) int32 dev, nc_mask dev)
+    taint_nc = np.zeros(N, dtype=bool)
     last_it = K_ITER
+    bailed = False
+
+    def _land(pit, pstats, pmask):
+        """Fetch a finished iteration's flags; returns its active count."""
+        n_act, n_chg = (int(v) for v in np.asarray(jax.device_get(pstats)))
+        if n_chg > 0:
+            taint_nc[:] |= np.asarray(jax.device_get(
+                _nc_reduce(pmask, cc16, offs_d, lids_d, crop)))
+        return n_act
 
     for it in range(K_ITER):
         (valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
-         any_active, conv_ok) = _iteration(
+         stats, nc_mask) = _iteration(
             valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
             jnp.int32(it),
             daf, dbf, cc_x, cc_y, cc_z, cc16, cc_pad,
@@ -536,25 +578,28 @@ def trace_global(
             before_d, after_d, mp_d,
             jnp.float32(scale), jnp.float32(const),
             crop, anis, r_ball, r_warm, bool(fix_branching), L)
-        pending_flags.append((it, any_active, conv_ok))
+        pending.append((it, stats, nc_mask))
         # stay one iteration ahead of the flag fetch: check it-1 while
         # iteration `it` runs on device
-        if len(pending_flags) >= 2:
-            pit, pact, pconv = pending_flags.pop(0)
-            if not bool(pconv):
-                clean_through = min(clean_through, pit)
+        if len(pending) >= 2:
+            pit, pstats, pmask = pending.pop(0)
+            n_act = _land(pit, pstats, pmask)
+            if n_act == 0:
                 last_it = pit + 1
                 break
-            if not bool(pact):
-                last_it = pit + 1
+            if n_act <= bail_n and pit >= 2:
+                # iteration pit+1 is already in flight; labels still
+                # active after it are tainted below and finish in the
+                # crop engine
+                last_it = pit + 2
+                bailed = True
                 break
-    for pit, pact, pconv in pending_flags:
+    for pit, pstats, pmask in pending:
         if pit < last_it:
-            if not bool(pconv):
-                clean_through = min(clean_through, pit)
+            n_act = _land(pit, pstats, pmask)
+            if n_act == 0:
                 last_it = min(last_it, pit + 1)
-            elif not bool(pact):
-                last_it = min(last_it, pit + 1)
+    del pending
 
     # --- drain
     lens = np.asarray(jax.device_get(len_buf))  # (K_ITER, N, 3) i16
@@ -562,15 +607,11 @@ def trace_global(
     actives = lens[:, :, 1].astype(bool)
     overflows = lens[:, :, 2].astype(bool)
 
-    # a convergence failure at iteration c taints every label still active
-    # at c (their later fields were relaxed from an unconverged state)
-    tainted = np.zeros(N, dtype=bool)
-    if clean_through < K_ITER:
-        tainted |= actives[clean_through:last_it].any(axis=0)
-    # labels still active after the iteration cap never finished
-    if last_it >= K_ITER:
-        tainted |= actives[K_ITER - 1]
-    tainted |= overflows.any(axis=0)
+    tainted = setup_taint | taint_nc | overflows.any(axis=0)
+    if bailed or last_it >= K_ITER:
+        # conservatively re-run every label still working at the final
+        # dispatched iteration (it may have needed more paths)
+        tainted |= actives[min(last_it, K_ITER) - 1]
 
     # gather indices for live path rows (iteration-major)
     keep = actives.copy()

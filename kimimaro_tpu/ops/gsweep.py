@@ -327,28 +327,28 @@ def one_round(d, cc_v: MaskViews, nc_v: Optional[MaskViews],
 
 def relax_full(d, cc_v: MaskViews, nc_v, ok_v, anisotropy, rounds: int,
                mode: str = "euclid", clamp_positive: bool = False,
-               conv: str = "exact"):
-    """`rounds` full rounds with a static trip count; the final round
-    doubles as the convergence check (same contract as
+               conv: str = "exact", return_mask: bool = False):
+    """`rounds` full rounds with a static trip count, then one extra round
+    that doubles as the convergence check (same contract as
     ops.fused_trace._relax_rounds — data-dependent while fixpoints
-    miscompile on the tunneled TPU backend). Returns (d, converged)."""
+    miscompile on the tunneled TPU backend). Returns (d, converged), or
+    (d, changed_mask) with the per-voxel last-round change mask when
+    `return_mask` — callers reduce it per label (cc partitions the
+    foreground, so a change at a voxel taints exactly that voxel's label)."""
 
-    def criterion(nd, dd):
-        if conv == "reach":
-            return jnp.any(jnp.isfinite(nd) != jnp.isfinite(dd))
-        if conv == "negative":
-            return jnp.any(
-                jnp.where(nd <= 0, nd, INF) != jnp.where(dd <= 0, dd, INF)
-            )
-        return jnp.any(nd != dd)
+    def body(dd, _):
+        return one_round(dd, cc_v, nc_v, ok_v, anisotropy, mode,
+                         clamp_positive), None
 
-    def body(carry, _):
-        dd, _ = carry
-        nd = one_round(dd, cc_v, nc_v, ok_v, anisotropy, mode,
-                       clamp_positive)
-        return (nd, criterion(nd, dd)), None
-
-    (d, changed), _ = jax.lax.scan(
-        body, (d, jnp.bool_(True)), None, length=int(rounds) + 1
-    )
-    return d, ~changed
+    d1, _ = jax.lax.scan(body, d, None, length=int(rounds))
+    nd = one_round(d1, cc_v, nc_v, ok_v, anisotropy, mode, clamp_positive)
+    if conv == "reach":
+        mask = jnp.isfinite(nd) != jnp.isfinite(d1)
+    elif conv == "negative":
+        mask = (jnp.where(nd <= 0, nd, INF)
+                != jnp.where(d1 <= 0, d1, INF))
+    else:
+        mask = nd != d1
+    if return_mask:
+        return nd, mask
+    return nd, ~jnp.any(mask)
