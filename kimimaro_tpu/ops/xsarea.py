@@ -129,92 +129,125 @@ def _sections_batch(fg, verts, normals, true_shape,
     return jax.vmap(one)(verts, normals)
 
 
+def _bdim(x):
+    b = 16
+    while b < x:
+        b <<= 1
+    return b
+
+
+_PERMS = ((1, 2, 0), (0, 2, 1), (0, 1, 2))  # dominant axis d moved last
+
+
+def _run_batches(kernel, fg, true_shape, verts, normals, anisotropy,
+                 batch, rounds_ladder):
+    """Pipelined batched dispatch with a convergence-escalation ladder
+    (one batch in flight while the previous result crosses the tunnel)."""
+    n = verts.shape[0]
+    areas = np.zeros(n, dtype=np.float32)
+    contacts = np.zeros(n, dtype=np.uint8)
+    convs = np.zeros(n, dtype=bool)
+
+    def sweep(indices, rounds):
+        pending = None
+
+        def land(pending):
+            idx, (pa, pc, pv) = pending
+            take = len(idx)
+            areas[idx] = np.asarray(pa)[:take]
+            contacts[idx] = np.asarray(pc)[:take]
+            convs[idx] = np.asarray(pv)[:take]
+
+        for i in range(0, len(indices), batch):
+            idx = indices[i: i + batch]
+            v = verts[idx]
+            m = normals[idx]
+            pad = batch - len(idx)
+            if pad:
+                v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
+                m = np.concatenate([m, np.tile([[0.0, 0, 1.0]], (pad, 1))])
+            out = kernel(fg, jnp.asarray(v), jnp.asarray(m), true_shape,
+                         anisotropy, rounds=rounds)
+            if pending is not None:
+                land(pending)
+            pending = (idx, out)
+        if pending is not None:
+            land(pending)
+
+    sweep(np.arange(n), rounds_ladder[0])
+    for rounds in rounds_ladder[1:]:
+        bad = np.flatnonzero(~convs)
+        if len(bad) == 0:
+            break
+        sweep(bad, rounds)
+    return areas, contacts
+
+
 def cross_section_areas(
     binimg,
     verts,
     normals,
     anisotropy: Sequence[float] = (1, 1, 1),
-    batch: int = 64,
+    batch: int = 256,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host driver: evaluate many sectioning planes of one binary image.
 
     verts: (N,3) int voxel coords; normals: (N,3) unit physical normals.
-    Returns (areas float32 (N,), contacts uint8 (N,)).
+    Queries are grouped by dominant axis and run through the O(plane)
+    slab kernel (ops.xsslab); degenerate (near-zero) normals fall back to
+    the dense 3D kernel. Returns (areas f32 (N,), contacts uint8 (N,)).
     """
+    from . import xsslab
+
     binimg = np.asarray(binimg)
-    true_shape = jnp.asarray(np.array(binimg.shape, np.int32))
-    # pad crops into power-of-two size classes: one compilation per class
-    # instead of one per label crop
-    def _bdim(x):
-        b = 16
-        while b < x:
-            b <<= 1
-        return b
-    pshape = tuple(_bdim(int(d)) for d in binimg.shape)
-    if pshape != binimg.shape:
-        padded = np.zeros(pshape, dtype=bool)
-        padded[:binimg.shape[0], :binimg.shape[1], :binimg.shape[2]] = (
-            binimg != 0
-        )
-        fg = jnp.asarray(padded)
-    else:
-        fg = jnp.asarray(binimg) != 0
+    shape = binimg.shape
     verts = np.asarray(verts, dtype=np.int32).reshape(-1, 3)
     normals = np.asarray(normals, dtype=np.float32).reshape(-1, 3)
     n = verts.shape[0]
-    anisotropy = tuple(float(a) for a in anisotropy)
+    anis = np.asarray(anisotropy, dtype=np.float32)
+
+    w = np.abs(normals) * anis[None, :]
+    dom = np.argmax(w, axis=1)
+    degenerate = w.max(axis=1) < 1e-12
 
     areas = np.zeros(n, dtype=np.float32)
     contacts = np.zeros(n, dtype=np.uint8)
-    convs = np.zeros(n, dtype=bool)
-    # dispatch one batch ahead of each fetch so the device computes the
-    # next plane set while the previous results cross the tunnel
-    pending = None
 
-    def land(pending):
-        j, jpad, (pa, pc, pv) = pending
-        take = batch - jpad if jpad else batch
-        areas[j: j + batch] = np.asarray(pa)[:take]
-        contacts[j: j + batch] = np.asarray(pc)[:take]
-        convs[j: j + batch] = np.asarray(pv)[:take]
+    for d in range(3):
+        sel = np.flatnonzero((dom == d) & ~degenerate)
+        if len(sel) == 0:
+            continue
+        perm = _PERMS[d]
+        vol_t = np.transpose(binimg != 0, perm)
+        pshape = tuple(_bdim(int(s)) for s in vol_t.shape)
+        padded = np.zeros(pshape, dtype=bool)
+        padded[: vol_t.shape[0], : vol_t.shape[1], : vol_t.shape[2]] = vol_t
+        fg_t = jnp.asarray(padded)
+        ts = jnp.asarray(np.array(vol_t.shape, np.int32))
+        a, c = _run_batches(
+            xsslab.slab_sections_batch, fg_t, ts,
+            verts[sel][:, perm], normals[sel][:, perm],
+            tuple(float(anis[p]) for p in perm),
+            min(batch, max(64, len(sel))), (6, 16, 48))
+        areas[sel] = a
+        # remap permuted-axis contact bit pairs back to original axes
+        cc = np.zeros_like(c)
+        for j, p in enumerate(perm):
+            cc |= ((c >> (2 * j)) & 3) << (2 * p)
+        contacts[sel] = cc
 
-    for i in range(0, n, batch):
-        v = verts[i: i + batch]
-        m = normals[i: i + batch]
-        pad = batch - v.shape[0]
-        if pad:
-            v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
-            m = np.concatenate([m, np.tile([[1.0, 0, 0]], (pad, 1))])
-        out = _sections_batch(fg, jnp.asarray(v), jnp.asarray(m),
-                              true_shape, anisotropy)
-        if pending is not None:
-            land(pending)
-        pending = (i, pad, out)
-    if pending is not None:
-        land(pending)
-
-    # escalate under-flooded sections (bounded rounds hit their cap) with
-    # progressively deeper sweeps; tiny tail in practice
-    for rounds in (48, 192):
-        bad = np.flatnonzero(~convs)
-        if len(bad) == 0:
-            break
-        for i in range(0, len(bad), batch):
-            idx = bad[i: i + batch]
-            v = verts[idx]
-            m = normals[idx]
-            pad = batch - v.shape[0]
-            if pad:
-                v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
-                m = np.concatenate([m, np.tile([[1.0, 0, 0]], (pad, 1))])
-            pa, pc, pv = _sections_batch(
-                fg, jnp.asarray(v), jnp.asarray(m), true_shape, anisotropy,
-                rounds=rounds
-            )
-            take = len(idx)
-            areas[idx] = np.asarray(pa)[:take]
-            contacts[idx] = np.asarray(pc)[:take]
-            convs[idx] = np.asarray(pv)[:take]
+    degs = np.flatnonzero(degenerate)
+    if len(degs):
+        pshape = tuple(_bdim(int(s)) for s in shape)
+        padded = np.zeros(pshape, dtype=bool)
+        padded[: shape[0], : shape[1], : shape[2]] = binimg != 0
+        a, c = _run_batches(
+            _sections_batch, jnp.asarray(padded),
+            jnp.asarray(np.array(shape, np.int32)),
+            verts[degs], normals[degs],
+            tuple(float(x) for x in anis), min(64, batch), (8, 48, 192))
+        areas[degs] = a
+        contacts[degs] = c
 
     return areas, contacts
 
