@@ -117,14 +117,21 @@ _AXIS_UNIT = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
 
 
 def _crop_edtsq_banded(labels, anisotropy, black_border, voxel_graph=None,
-                       band_cap: int = 128):
+                       band_cap: int = None):
     """Squared multi-label EDT of a crop with static bands (in-kernel form:
-    no host escalation). Exact when every distance fits the band; crops are
-    padded label bounding boxes, so band >= min(dim-1, band_cap) suffices
-    in practice. black_border is a traced bool. `voxel_graph` walls break
-    runs like label changes (same wall-segment cumsum as ops.edt.edtsq)."""
+    no host escalation). Exact when every distance fits the band; axes
+    longer than band_cap+1 can truncate (a refilled soma thicker than the
+    band — reference exactness contract: re-EDT after refill,
+    trace.py:112-117), so the second return is a traced exactness flag:
+    a truncated voxel's squared distance necessarily exceeds
+    min_clipped_axis (w*band)^2, so any foreground value above that bound
+    marks the result inexact and the caller escalates. black_border is a
+    traced bool. `voxel_graph` walls break runs like label changes (same
+    wall-segment cumsum as ops.edt.edtsq)."""
     from .ops.stencils import graph_allows
 
+    if band_cap is None:
+        band_cap = int(_os.environ.get("KIMIMARO_TPU_EDT_BAND", "128"))
     shape = labels.shape
     d = jnp.full(shape, np.float32(3.4e37), dtype=jnp.float32)
     BIG = np.float32(3.4e37)
@@ -177,7 +184,16 @@ def _crop_edtsq_banded(labels, anisotropy, black_border, voxel_graph=None,
         out = jnp.minimum(best, d_t).reshape(jnp.moveaxis(d, axis, -1).shape)
         d = jnp.moveaxis(out, -1, axis)
         d = jnp.where(labels == 0, 0.0, d)
-    return d
+
+    clipped = [
+        (float(anisotropy[a]) * band_cap) ** 2
+        for a in range(3) if shape[a] - 1 > band_cap
+    ]
+    if clipped:
+        exact = ~jnp.any((labels != 0) & (d > np.float32(min(clipped))))
+    else:
+        exact = jnp.bool_(True)
+    return d, exact
 
 
 def _masked_argmax_coords(field, mask, shape):
@@ -240,6 +256,7 @@ def _one_label(
     r_ball = max(3, r_main // 2)
     r_warm = max(2, r_main // 3)
     # bit per relaxation stage: 1=fill 2=probe 4=daf 8=rail 16=ball 32=warm
+    # 64=banded re-EDT truncated (soma thicker than the band)
     nc_bits = jnp.int32(0)
 
     off3 = (offset[0], offset[1], offset[2])
@@ -260,20 +277,23 @@ def _one_label(
         filled, conv_f = _crop_fill(fg0, anisotropy, rounds=r_main)
         n_filled = jnp.sum(filled) - jnp.sum(fg0)
         bb = jnp.all(filled)
-        dsq = _crop_edtsq_banded(filled.astype(jnp.uint8), anisotropy, bb, vg)
+        dsq, edt_ok = _crop_edtsq_banded(
+            filled.astype(jnp.uint8), anisotropy, bb, vg)
         dbf1 = jnp.where(filled, jnp.sqrt(dsq), 0.0)
         take = n_filled > 0
         return (
             jnp.where(take, filled, fg0),
             jnp.where(take, dbf1, dbf0),
             conv_f,
+            edt_ok | ~take,
         )
 
-    fg, dbf, conv_f = jax.lax.cond(
+    fg, dbf, conv_f, edt_ok = jax.lax.cond(
         dbf_max > soma_detection_threshold, refill,
-        lambda a: (a[0], a[1], jnp.bool_(True)), (fg, dbf)
+        lambda a: (a[0], a[1], jnp.bool_(True), jnp.bool_(True)), (fg, dbf)
     )
     nc_bits = nc_bits | jnp.where(conv_f, 0, 1)
+    nc_bits = nc_bits | jnp.where(edt_ok, 0, 64)
     dbf_max = jnp.max(dbf)
     if soma_possible:
         soma_mode = dbf_max > soma_acceptance_threshold
@@ -456,7 +476,7 @@ def _one_label(
     jax.jit,
     static_argnames=(
         "crop_shape", "anisotropy", "pdrf_exponent", "fix_branching",
-        "has_vg", "K", "L", "relax_rounds", "soma_possible",
+        "has_vg", "K", "L", "relax_rounds", "soma_possible", "lane_crops",
     ),
 )
 def batched_trace_kernel(
@@ -476,10 +496,13 @@ def batched_trace_kernel(
     L: int,
     relax_rounds: int = RELAX_ROUNDS,
     soma_possible: bool = True,
+    lane_crops: bool = False,
 ):
     """vmap of the full per-label trace over a batch of labels. The full
     cc/dbf volumes are broadcast (device-resident); every lane slices its
-    own crop."""
+    own crop. With `lane_crops` the caller pre-gathered per-lane crops
+    instead (cc_full/dbf_full are (B,) + crop_shape, offsets are zeros) —
+    the multi-chip path uses this so one host never holds the volume."""
     fn = functools.partial(
         _one_label,
         crop_shape=crop_shape, anisotropy=anisotropy,
@@ -487,6 +510,17 @@ def batched_trace_kernel(
         has_vg=has_vg, K=K, L=L, relax_rounds=relax_rounds,
         soma_possible=soma_possible,
     )
+    if lane_crops:
+        return jax.vmap(
+            lambda cc, dbf, lid, off, b, nb, a, na, r, hr, mp: fn(
+                cc, dbf, vg_full, lid, off, b, nb, a, na, r, hr, mp,
+                scale, const,
+                soma_detection_threshold, soma_acceptance_threshold,
+                soma_invalidation_scale, soma_invalidation_const,
+                pdrf_scale,
+            )
+        )(cc_full, dbf_full, label_ids, offsets, before, n_before, after,
+          n_after, root_in, has_root, max_paths_in)
     return jax.vmap(
         lambda lid, off, b, nb, a, na, r, hr, mp: fn(
             cc_full, dbf_full, vg_full, lid, off, b, nb, a, na, r, hr, mp,
@@ -540,6 +574,7 @@ def trace_batched(
     fix_branching: bool,
     progress: bool = False,
     voxel_graph=None,
+    crop_source=None,
 ) -> Tuple[Dict[int, List[Tuple[np.ndarray, np.ndarray]]], List[dict]]:
     """Run per-label traces in device batches.
 
@@ -548,6 +583,11 @@ def trace_batched(
     Returns ({segid: [(path_vertices, path_radii), ...]}, fallback_jobs).
     Paths are rail-first int64 voxel coords in crop frame + per-vertex
     radii; callers translate/scale.
+
+    `crop_source(crop_offs (B,3) int64, n_real, bshape) -> (cc, dbf)`
+    (each (B,)+bshape jnp) replaces on-device slicing of cc_dev/dbf_dev —
+    the multi-chip driver supplies one that gathers each label's crop off
+    the mesh, so no single host/chip ever holds the full volume.
     """
     p = dict(teasar_params)
     scale = float(p.get("scale", 10))
@@ -737,11 +777,20 @@ def trace_batched(
                     if max_paths is not None:
                         mp[j] = int(max_paths)
 
+                if crop_source is not None:
+                    cc_in, dbf_in = crop_source(
+                        offs.astype(np.int64), len(chunk), bshape)
+                    offs = np.zeros_like(offs)
+                    lane_crops = True
+                else:
+                    cc_in, dbf_in = cc_dev, dbf_dev
+                    lane_crops = False
+
                 outs = None
                 for attempt in range(3):
                     try:
                         outs = batched_trace_kernel(
-                            cc_dev, dbf_dev, vg_full,
+                            cc_in, dbf_in, vg_full,
                             jnp.asarray(lids), jnp.asarray(offs),
                             jnp.asarray(bef), jnp.asarray(nbef),
                             jnp.asarray(aft), jnp.asarray(naft),
@@ -757,6 +806,7 @@ def trace_batched(
                             has_vg=has_vg, K=K, L=L,
                             relax_rounds=relax_rounds,
                             soma_possible=soma,
+                            lane_crops=lane_crops,
                         )
                         break
                     except jax.errors.JaxRuntimeError as e:

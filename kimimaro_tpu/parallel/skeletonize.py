@@ -155,15 +155,27 @@ def skeletonize_sharded(
             "before": manual_before, "after": manual_after, "root": root,
         })
 
-    # --- per-label tracing: gather the component fields off the mesh once
-    # (tiny next to the sharded preamble: skeleton-bearing crops only) and
-    # drive the same batched engine the single-chip path uses.
-    cc_gathered = jnp.asarray(np.asarray(jax.device_get(cc_dev)))
-    dbf_gathered = jnp.asarray(np.asarray(jax.device_get(dbf_dev)))
+    # --- per-label tracing: every batch gathers only its labels' bbox
+    # crops off the mesh (a full-volume gather here would OOM the very
+    # host/chip the sharding exists to spare) and drives the same batched
+    # engine the single-chip path uses.
+    cc_np_dtype = np.dtype(cc_dev.dtype.name)
+
+    def crop_source(crop_offs, n_real, bshape):
+        ccs = np.zeros((len(crop_offs),) + bshape, dtype=cc_np_dtype)
+        dbs = np.zeros((len(crop_offs),) + bshape, dtype=np.float32)
+        for j in range(n_real):
+            slc = tuple(
+                slice(int(o), int(o + b))
+                for o, b in zip(crop_offs[j], bshape)
+            )
+            ccs[j] = np.asarray(jax.device_get(cc_dev[slc]))
+            dbs[j] = np.asarray(jax.device_get(dbf_dev[slc]))
+        return jnp.asarray(ccs), jnp.asarray(dbs)
 
     results, fallback_jobs = engine.trace_batched(
-        cc_gathered, dbf_gathered, jobs, teasar_params, anisotropy,
-        fix_branching, progress=progress,
+        cc_dev, dbf_dev, jobs, teasar_params, anisotropy,
+        fix_branching, progress=progress, crop_source=crop_source,
     )
 
     skeletons = defaultdict(list)
@@ -180,8 +192,10 @@ def skeletonize_sharded(
         skel.space = "physical"
         skeletons[skel.id].append(skel)
 
+    # _run_host_fallback slices each job's bbox from the sharded arrays
+    # directly (crop-sized fetches only)
     intake._run_host_fallback(
-        fallback_jobs, cc_gathered, dbf_gathered, None, remapping, skeletons,
+        fallback_jobs, cc_dev, dbf_dev, None, remapping, skeletons,
         teasar_params, anisotropy, fix_branching,
     )
 

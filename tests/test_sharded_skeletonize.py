@@ -81,3 +81,45 @@ def test_sharded_fix_borders(mesh):
         fix_borders=True,
     )
     assert _vertex_set(single[2]) == _vertex_set(sharded[2])
+
+
+def test_sharded_never_gathers_full_volume(mesh, monkeypatch):
+    """VERDICT r2 item 3: the trace stage must fetch per-label bbox crops
+    only — a volume needing the whole mesh's HBM would OOM one host at a
+    full-volume gather. Intercept every device->host conversion and bound
+    the largest single fetch."""
+    labels = np.zeros((32, 24, 16), dtype=np.uint32)
+    labels[4:18, 4:8, 4:8] = 5
+    labels[20:30, 12:16, 8:12] = 6
+    vol_elems = labels.size
+    seen = []
+
+    import jax._src.array as _jarray
+
+    real_get = jax.device_get
+    real_arr = _jarray.ArrayImpl.__array__
+
+    def spy_get(tree):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if hasattr(leaf, "size"):
+                seen.append(int(np.prod(leaf.shape)))
+        return real_get(tree)
+
+    def spy_arr(self, *a, **k):
+        seen.append(int(np.prod(self.shape)))
+        return real_arr(self, *a, **k)
+
+    monkeypatch.setattr(jax, "device_get", spy_get)
+    monkeypatch.setattr(_jarray.ArrayImpl, "__array__", spy_arr)
+
+    sharded = skeletonize_sharded(
+        labels, mesh=mesh, anisotropy=(1, 1, 1), dust_threshold=10
+    )
+
+    monkeypatch.undo()
+    assert sorted(sharded) == [5, 6]
+    assert seen, "no transfers recorded — spy not effective"
+    assert max(seen) < vol_elems // 2, (
+        f"full-volume-scale gather detected: max fetch {max(seen)} elems "
+        f"of a {vol_elems}-elem volume"
+    )
