@@ -105,3 +105,64 @@ def test_engine_matches_host_trace(fix_branching):
                                       host_skel.radii)}
     for v, r in zip(eng_skel.vertices.astype(int), eng_skel.radii):
         assert abs(hv[tuple(v)] - r) < 1e-4
+
+
+def test_banded_edt_exactness_flag():
+    """VERDICT r2 item 4: the in-kernel banded EDT must FLAG truncation
+    (object thicker than the band), not silently return wrong distances."""
+    labels = ball(32, 13)
+    anis = (1.0, 1.0, 1.0)
+
+    d_wide, ok_wide = jax.jit(
+        lambda l: engine._crop_edtsq_banded(l, anis, jnp.bool_(False),
+                                            band_cap=31)
+    )(jnp.asarray(labels))
+    assert bool(ok_wide)
+    ref = edt_ops.edtsq(labels, anisotropy=anis)
+    np.testing.assert_allclose(
+        np.asarray(d_wide), np.asarray(ref), rtol=1e-5, atol=1e-3)
+
+    d_thin, ok_thin = jax.jit(
+        lambda l: engine._crop_edtsq_banded(l, anis, jnp.bool_(False),
+                                            band_cap=4)
+    )(jnp.asarray(labels))
+    assert not bool(ok_thin)
+
+
+def test_soma_thicker_than_band_escalates(monkeypatch):
+    """A refilled soma thicker than the EDT band must reach the host
+    fallback (flagged escalation), and the result must match the
+    default-band run."""
+    from kimimaro_tpu.utils import profiling
+
+    n = 33  # unique shape: forces a fresh kernel trace under the env band
+    labels = ball(n, 13)
+    labels[n // 2, n // 2, n // 2] = 0  # interior hole: refill takes
+    params = {
+        "scale": 1.5, "const": 2,
+        "pdrf_scale": 100000, "pdrf_exponent": 4,
+        "soma_detection_threshold": 5,
+        "soma_acceptance_threshold": 10,
+        "soma_invalidation_scale": 0.5,
+        "soma_invalidation_const": 0,
+    }
+    expected = kimimaro_tpu.skeletonize(
+        labels, teasar_params=params, dust_threshold=10, fix_borders=False)
+
+    monkeypatch.setenv("KIMIMARO_TPU_EDT_BAND", "4")
+    profiling.reset_stats()
+    profiling.collect(True)
+    try:
+        got = kimimaro_tpu.skeletonize(
+            labels, teasar_params=params, dust_threshold=10,
+            fix_borders=False)
+    finally:
+        profiling.collect(False)
+    counters = profiling.get_stats()["counters"]
+
+    assert counters.get("fallback_jobs", 0) >= 1, (
+        f"banded-EDT truncation did not escalate: {counters}")
+    assert sorted(got) == sorted(expected)
+    va = np.array(sorted(map(tuple, expected[1].vertices.tolist())))
+    vb = np.array(sorted(map(tuple, got[1].vertices.tolist())))
+    np.testing.assert_allclose(va, vb, atol=1e-4)
