@@ -24,6 +24,15 @@ import numpy as np
 BASELINE_LABELS_PER_SEC = 2124.0 / 94.0  # M3, kimimaro 5.4.0
 
 
+def _backend_name():
+    try:
+        import jax
+
+        return jax.default_backend()
+    except Exception:
+        return "unknown"
+
+
 def load_connectomics():
     """The real 512^3 benchmark volume, if the crackle codec exists."""
     try:
@@ -197,6 +206,34 @@ def main():
     except Exception:
         pass
 
+    # oracle parity measured THROUGH the live backend (VERDICT r2 item 6:
+    # the >=99% parity suite runs on CPU in CI; this re-runs the same five
+    # oracle volumes through the real engine on the benchmark's backend)
+    parity_pct = None
+    try:
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests"))
+        import importlib
+
+        tsp = importlib.import_module("test_swc_parity")
+        from oracle_teasar import oracle_teasar, vertex_parity
+
+        parities = []
+        for name, vol in tsp._volumes().items():
+            got = tsp._run_pipeline(vol)
+            oracle_v, _ = oracle_teasar(
+                vol, anisotropy=(1, 1, 1), black_border=False,
+                scale=tsp.PARAMS["scale"], const=tsp.PARAMS["const"],
+                pdrf_scale=tsp.PARAMS["pdrf_scale"],
+                pdrf_exponent=tsp.PARAMS["pdrf_exponent"],
+            )
+            parities.append(vertex_parity(got, oracle_v, tol_voxels=1.0))
+        parity_pct = round(100.0 * min(parities), 2)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": f"skeletonize {source} ({n_labels} labels) labels/sec",
         "value": round(labels_per_sec, 3),
@@ -208,6 +245,8 @@ def main():
         "phases": phases,
         "counters": stats["counters"],
         "xs_ms_per_vertex": xs_ms_per_vertex,
+        "parity_pct_min": parity_pct,
+        "backend": _backend_name(),
     }))
 
 

@@ -139,16 +139,19 @@ def _bdim(x):
 _PERMS = ((1, 2, 0), (0, 2, 1), (0, 1, 2))  # dominant axis d moved last
 
 
-def _run_batches(kernel, fg, true_shape, verts, normals, anisotropy,
-                 batch, rounds_ladder):
-    """Pipelined batched dispatch with a convergence-escalation ladder
-    (one batch in flight while the previous result crosses the tunnel)."""
+def _run_batches(kernels, fg, true_shape, verts, normals, anisotropy,
+                 batch):
+    """Pipelined batched dispatch with an escalation ladder: `kernels` is
+    a list of callables (fg, verts, normals, true_shape, anisotropy) ->
+    (areas, contacts, conv); unconverged queries re-run on the next rung
+    (one batch stays in flight while the previous result crosses the
+    tunnel)."""
     n = verts.shape[0]
     areas = np.zeros(n, dtype=np.float32)
     contacts = np.zeros(n, dtype=np.uint8)
     convs = np.zeros(n, dtype=bool)
 
-    def sweep(indices, rounds):
+    def sweep(kernel, indices):
         pending = None
 
         def land(pending):
@@ -167,19 +170,19 @@ def _run_batches(kernel, fg, true_shape, verts, normals, anisotropy,
                 v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
                 m = np.concatenate([m, np.tile([[0.0, 0, 1.0]], (pad, 1))])
             out = kernel(fg, jnp.asarray(v), jnp.asarray(m), true_shape,
-                         anisotropy, rounds=rounds)
+                         anisotropy)
             if pending is not None:
                 land(pending)
             pending = (idx, out)
         if pending is not None:
             land(pending)
 
-    sweep(np.arange(n), rounds_ladder[0])
-    for rounds in rounds_ladder[1:]:
+    sweep(kernels[0], np.arange(n))
+    for kernel in kernels[1:]:
         bad = np.flatnonzero(~convs)
         if len(bad) == 0:
             break
-        sweep(bad, rounds)
+        sweep(kernel, bad)
     return areas, contacts
 
 
@@ -213,6 +216,12 @@ def cross_section_areas(
     areas = np.zeros(n, dtype=np.float32)
     contacts = np.zeros(n, dtype=np.uint8)
 
+    def _dense_rung(rounds):
+        def run(fg, v, m, ts, an):
+            a, c, cv = _sections_batch(fg, v, m, ts, an, rounds=rounds)
+            return a, c, cv
+        return run
+
     for d in range(3):
         sel = np.flatnonzero((dom == d) & ~degenerate)
         if len(sel) == 0:
@@ -224,11 +233,27 @@ def cross_section_areas(
         padded[: vol_t.shape[0], : vol_t.shape[1], : vol_t.shape[2]] = vol_t
         fg_t = jnp.asarray(padded)
         ts = jnp.asarray(np.array(vol_t.shape, np.int32))
+
+        # window/round escalation: most sections are tiny (xs3d's cost
+        # model, reference utility.py:221-229); serpentine or giant
+        # sections climb to wider windows, then the dense 3D flood
+        def _slab_rung(W, rounds):
+            def run(fg, v, m, ts_, an):
+                return xsslab.slab_sections_batch(
+                    fg, v, m, ts_, an, W=W, rounds=rounds)
+            return run
+
+        rungs = [_slab_rung(64, 96)]
+        if max(pshape[0], pshape[1]) > 64:
+            rungs.append(_slab_rung(256, 384))
+        rungs.append(_slab_rung(max(pshape[0], pshape[1]), 1024))
+        rungs.append(_dense_rung(192))
+
         a, c = _run_batches(
-            xsslab.slab_sections_batch, fg_t, ts,
+            rungs, fg_t, ts,
             verts[sel][:, perm], normals[sel][:, perm],
             tuple(float(anis[p]) for p in perm),
-            min(batch, max(64, len(sel))), (6, 16, 48))
+            min(batch, max(64, len(sel))))
         areas[sel] = a
         # remap permuted-axis contact bit pairs back to original axes
         cc = np.zeros_like(c)
@@ -242,10 +267,11 @@ def cross_section_areas(
         padded = np.zeros(pshape, dtype=bool)
         padded[: shape[0], : shape[1], : shape[2]] = binimg != 0
         a, c = _run_batches(
-            _sections_batch, jnp.asarray(padded),
+            [_dense_rung(r) for r in (8, 48, 192)],
+            jnp.asarray(padded),
             jnp.asarray(np.array(shape, np.int32)),
             verts[degs], normals[degs],
-            tuple(float(x) for x in anis), min(64, batch), (8, 48, 192))
+            tuple(float(x) for x in anis), min(64, batch))
         areas[degs] = a
         contacts[degs] = c
 

@@ -17,11 +17,15 @@ def _dense_reference(binimg, verts, normals, anisotropy):
     pshape = tuple(xsarea._bdim(int(s)) for s in shape)
     padded = np.zeros(pshape, dtype=bool)
     padded[: shape[0], : shape[1], : shape[2]] = binimg != 0
+    def rung(rounds):
+        return lambda fg, v, m, ts, an: xsarea._sections_batch(
+            fg, v, m, ts, an, rounds=rounds)
+
     return xsarea._run_batches(
-        xsarea._sections_batch, jnp.asarray(padded),
+        [rung(r) for r in (8, 48, 192)], jnp.asarray(padded),
         jnp.asarray(np.array(shape, np.int32)),
         np.asarray(verts, np.int32), np.asarray(normals, np.float32),
-        tuple(float(a) for a in anisotropy), 64, (8, 48, 192))
+        tuple(float(a) for a in anisotropy), 64)
 
 
 def _blobs(seed, shape=(22, 19, 17)):
