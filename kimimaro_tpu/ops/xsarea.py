@@ -146,6 +146,10 @@ def _run_batches(kernels, fg, true_shape, verts, normals, anisotropy,
     (areas, contacts, conv); unconverged queries re-run on the next rung
     (one batch stays in flight while the previous result crosses the
     tunnel)."""
+    import time as _time
+
+    from ..utils import profiling
+
     n = verts.shape[0]
     areas = np.zeros(n, dtype=np.float32)
     contacts = np.zeros(n, dtype=np.uint8)
@@ -177,12 +181,19 @@ def _run_batches(kernels, fg, true_shape, verts, normals, anisotropy,
         if pending is not None:
             land(pending)
 
+    t0 = _time.perf_counter()
     sweep(kernels[0], np.arange(n))
-    for kernel in kernels[1:]:
+    profiling.count("xs_rung0_queries", n)
+    profiling.count("xs_rung0_ms", int(1000 * (_time.perf_counter() - t0)))
+    for r, kernel in enumerate(kernels[1:], start=1):
         bad = np.flatnonzero(~convs)
         if len(bad) == 0:
             break
+        t0 = _time.perf_counter()
         sweep(kernel, bad)
+        profiling.count(f"xs_rung{r}_queries", len(bad))
+        profiling.count(f"xs_rung{r}_ms",
+                        int(1000 * (_time.perf_counter() - t0)))
     return areas, contacts
 
 
