@@ -120,24 +120,35 @@ class CompressedLabelVolume:
     # --- crackle-parity lazy metadata ------------------------------------
 
     def _scan(self) -> None:
+        """One vectorized pass per slab: counts and per-label bboxes via
+        unique(return_inverse) + per-axis min/max scatters (O(voxels),
+        no per-label rescans)."""
         counts: Dict[int, int] = {}
         mins: Dict[int, np.ndarray] = {}
         maxs: Dict[int, np.ndarray] = {}
         for z0, sl in self.slabs():
-            u, c = np.unique(sl, return_counts=True)
-            for lab, ct in zip(u.tolist(), c.tolist()):
-                counts[lab] = counts.get(lab, 0) + ct
-            for lab in u.tolist():
-                pos = np.argwhere(sl == lab)
-                mn = pos.min(axis=0)
-                mx = pos.max(axis=0)
-                mn[2] += z0
-                mx[2] += z0
+            u, inv, c = np.unique(sl, return_inverse=True,
+                                  return_counts=True)
+            inv = inv.ravel()
+            nx, ny, nz = sl.shape
+            gx, gy, gz = np.meshgrid(
+                np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+            k = len(u)
+            mn = np.full((k, 3), np.iinfo(np.int64).max, dtype=np.int64)
+            mx = np.full((k, 3), -1, dtype=np.int64)
+            for a, g in enumerate((gx, gy, gz)):
+                gf = g.ravel()
+                np.minimum.at(mn[:, a], inv, gf)
+                np.maximum.at(mx[:, a], inv, gf)
+            mn[:, 2] += z0
+            mx[:, 2] += z0
+            for j, lab in enumerate(u.tolist()):
+                counts[lab] = counts.get(lab, 0) + int(c[j])
                 if lab in mins:
-                    mins[lab] = np.minimum(mins[lab], mn)
-                    maxs[lab] = np.maximum(maxs[lab], mx)
+                    mins[lab] = np.minimum(mins[lab], mn[j])
+                    maxs[lab] = np.maximum(maxs[lab], mx[j])
                 else:
-                    mins[lab], maxs[lab] = mn, mx
+                    mins[lab], maxs[lab] = mn[j], mx[j]
         self._counts = counts
         self._bboxes = {k: (mins[k], maxs[k]) for k in mins}
 
@@ -171,18 +182,29 @@ class CompressedLabelVolume:
         return self.to_numpy() == label, None
 
     def remap(self, mapping: Dict[int, int], preserve_missing_labels: bool = True):
-        """Relabel in compressed space (reference intake.py:528 .remap)."""
+        """Relabel in compressed space (reference intake.py:528 .remap).
+        Fully vectorized: the mapping becomes a sorted key/value pair of
+        arrays once, and each slab relabels with two searchsorted passes —
+        no per-voxel (or per-unique) Python."""
+        keys = np.fromiter(mapping.keys(), dtype=np.int64,
+                           count=len(mapping))
+        vals = np.fromiter(mapping.values(), dtype=np.int64,
+                           count=len(mapping))
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+
         out = CompressedLabelVolume.__new__(CompressedLabelVolume)
         out.shape, out.dtype, out.slab = self.shape, self.dtype, self.slab
         out._counts = out._bboxes = None
         out._slabs = []
         for i in range(len(self._slabs)):
-            sl = self._slab_arr(i).copy()
-            u = np.unique(sl)
-            lut = {int(x): mapping.get(int(x), int(x) if preserve_missing_labels else 0) for x in u}
-            flat = sl.ravel()
-            sl = np.array([lut[int(x)] for x in u], dtype=self.dtype)[
-                np.searchsorted(u, flat)
-            ].reshape(self.shape[0], self.shape[1], -1)
+            sl = self._slab_arr(i)
+            flat = sl.ravel().astype(np.int64)
+            pos = np.searchsorted(keys, flat)
+            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+            hit = (len(keys) > 0) & (keys[pos_c] == flat)
+            miss = flat if preserve_missing_labels else 0
+            new = np.where(hit, vals[pos_c] if len(keys) else 0, miss)
+            sl = new.astype(self.dtype).reshape(sl.shape)
             out._slabs.append((sl.shape, zlib.compress(sl.tobytes(), 1)))
         return out

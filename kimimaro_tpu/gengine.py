@@ -501,8 +501,15 @@ def trace_global(
     lids_d = jnp.asarray(lids)
     offs_d = jnp.asarray(offs)
 
+    import time as _time
+
+    from .utils import profiling
+
+    _t_setup = _time.perf_counter()
     setup_taint = np.zeros(N, dtype=bool)
     debug = os.environ.get("KIMIMARO_TPU_GENGINE_DEBUG", "0") != "0"
+    if debug:
+        print(f"[gengine] N={N} crop={crop} L={L}", flush=True)
 
     def _continue_until(field, mask, n_chg, mode="euclid", nodecost=None,
                         phase=""):
@@ -545,6 +552,10 @@ def trace_global(
         jnp.float32(pdrf_scale))
     d_rail = _continue_until(d_rail, mask, n_chg, mode="node",
                              nodecost=pdrf, phase="rail")
+
+    profiling.count("gengine_setup_ms",
+                    int(1000 * (_time.perf_counter() - _t_setup)))
+    _t_loop = _time.perf_counter()
 
     # --- lock-step path loop
     valid = (cc_x > 0).astype(jnp.uint8)
@@ -616,6 +627,10 @@ def trace_global(
                 last_it = min(last_it, pit + 1)
     del pending
 
+    profiling.count("gengine_loop_ms",
+                    int(1000 * (_time.perf_counter() - _t_loop)))
+    _t_drain = _time.perf_counter()
+
     # --- drain
     lens = np.asarray(jax.device_get(len_buf))  # (K_ITER, N, 3) i16
     plens = lens[:, :, 0].astype(np.int64)
@@ -684,12 +699,10 @@ def trace_global(
         results.pop(int(lids[n]), None)
         leftover.append(eligible[n])
 
-    try:
-        from .utils import profiling
-        profiling.count("gengine_jobs", N - int(tainted.sum()))
-        profiling.count("gengine_fallback", int(tainted.sum()))
-    except Exception:
-        pass
+    profiling.count("gengine_drain_ms",
+                    int(1000 * (_time.perf_counter() - _t_drain)))
+    profiling.count("gengine_jobs", N - int(tainted.sum()))
+    profiling.count("gengine_fallback", int(tainted.sum()))
 
     return results, leftover
 

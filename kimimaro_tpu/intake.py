@@ -75,28 +75,53 @@ def skeletonize(
     space. `parallel`/`parallel_chunk_size` are accepted for API parity; the
     device executes each label's sweeps data-parallel already.
     """
+    import time as _time0
+
+    _t_prep = _time0.perf_counter()
     anisotropy = np.array(anisotropy, dtype=np.float32)
 
-    all_labels = format_labels(all_labels, in_place=in_place)
-    all_labels = apply_object_mask(all_labels, object_ids)
+    # compressed volumes stream slab-by-slab straight to the device (the
+    # reference's CrackleArray economy, intake.py:459, utility.py:63-92):
+    # the full uncompressed array never exists on the host. The optional
+    # host transforms (fill_holes / fix_avocados) are whole-volume by
+    # nature and force materialization.
+    from .carray import CompressedLabelVolume
 
-    if all_labels.size <= dust_threshold:
-        return {}
+    streaming = (
+        isinstance(all_labels, CompressedLabelVolume)
+        and not (fill_holes or fix_avocados)
+    )
+    if streaming:
+        clv = all_labels
+        if clv.size <= dust_threshold:
+            return {}
+        minlabel, maxlabel, wide_back, stream_upload = _plan_streaming(
+            clv, object_ids
+        )
+        if minlabel == 0 and maxlabel == 0:
+            return {}
+    else:
+        all_labels = format_labels(all_labels, in_place=in_place)
+        all_labels = apply_object_mask(all_labels, object_ids)
 
-    minlabel, maxlabel = int(all_labels.min()), int(all_labels.max())
-    if minlabel == 0 and maxlabel == 0:
-        return {}
+        if all_labels.size <= dust_threshold:
+            return {}
 
-    # labels wider than 32 bits are renumbered on host first (the device
-    # works in 32-bit); wide_back restores original ids at the end
-    wide_back = None
-    if all_labels.dtype.itemsize > 4:
-        u = np.unique(all_labels)
-        u_nz = u[u != 0]
-        compact = np.searchsorted(u_nz, all_labels).astype(np.uint32) + 1
-        compact[all_labels == 0] = 0
-        wide_back = {i + 1: int(v) for i, v in enumerate(u_nz)}
-        all_labels = compact
+        minlabel, maxlabel = int(all_labels.min()), int(all_labels.max())
+        if minlabel == 0 and maxlabel == 0:
+            return {}
+
+        # labels wider than 32 bits are renumbered on host first (the
+        # device works in 32-bit); wide_back restores original ids at the
+        # end
+        wide_back = None
+        if all_labels.dtype.itemsize > 4:
+            u = np.unique(all_labels)
+            u_nz = u[u != 0]
+            compact = np.searchsorted(u_nz, all_labels).astype(np.uint32) + 1
+            compact[all_labels == 0] = 0
+            wide_back = {i + 1: int(v) for i, v in enumerate(u_nz)}
+            all_labels = compact
 
     # --- device-resident preamble (CCL + compact renumber + metadata):
     # the full volumes never round-trip to the host on the fast path
@@ -107,11 +132,12 @@ def skeletonize(
 
     # shrink the host->device transfer: label VALUES only need to survive
     # the original-label lookup, so ship the narrowest dtype that holds them
-    upload = all_labels
-    if upload.dtype.itemsize > 2 and maxlabel < 2**16:
-        upload = upload.astype(np.uint16)
-    elif upload.dtype.itemsize > 4:
-        upload = upload.astype(np.uint32)
+    if not streaming:
+        upload = all_labels
+        if upload.dtype.itemsize > 2 and maxlabel < 2**16:
+            upload = upload.astype(np.uint16)
+        elif upload.dtype.itemsize > 4:
+            upload = upload.astype(np.uint32)
 
     vg_dev = None
     if voxel_graph is not None:
@@ -120,8 +146,11 @@ def skeletonize(
             vg_host = vg_host[..., np.newaxis]
         vg_dev = jnp.asarray(vg_host.astype(np.uint32))
 
+    profiling.count("host_prep_ms",
+                    int(1000 * (_time0.perf_counter() - _t_prep)))
+
     with phase("ccl"):
-        labels_dev = jnp.asarray(upload)
+        labels_dev = stream_upload() if streaming else jnp.asarray(upload)
         cc_raw = connected_components(labels_dev, voxel_graph=vg_dev)
         cc_dev, n_comp, rep_prefix = compact_cc(cc_raw)
         del cc_raw
@@ -293,28 +322,44 @@ def skeletonize(
             if not host_stages:
                 # rep_prefix encodes each component's lexicographically-
                 # first voxel (compact ids are first-appearance ordered)
+                import time as _time
+
+                _t_fv = _time.perf_counter()
                 fv_flat = np.asarray(jax.device_get(jnp.searchsorted(
                     rep_prefix,
                     jnp.arange(1, n_components + 1, dtype=jnp.int32),
                 )))
+                profiling.count(
+                    "tb_firstvox_ms",
+                    int(1000 * (_time.perf_counter() - _t_fv)))
                 fv_flat = np.minimum(fv_flat, all_labels.size - 1)
                 firstvox_arr = np.zeros((n_components + 1, 3), np.int32)
                 firstvox_arr[1:] = np.stack(
                     np.unravel_index(fv_flat, cc_dev.shape), axis=-1
                 )
+            import time as _time
+
+            _t_g = _time.perf_counter()
             g_results, crop_jobs = gengine.trace_global(
                 cc_dev, dbf_dev, jobs, teasar_params, anisotropy,
                 fix_branching, firstvox_arr=firstvox_arr,
                 progress=progress,
             )
+            profiling.count(
+                "tb_gengine_ms", int(1000 * (_time.perf_counter() - _t_g)))
             results.update(g_results)
 
         # self-touch (voxel_graph) volumes ride the same batched engine:
         # the walls thread through every in-kernel sweep/EDT/chase
+        import time as _time2
+
+        _t_c = _time2.perf_counter()
         crop_results, fallback_jobs = engine.trace_batched(
             cc_dev, dbf_dev, crop_jobs, teasar_params, anisotropy,
             fix_branching, progress=progress, voxel_graph=vg_dev,
         )
+        profiling.count(
+            "tb_crop_engine_ms", int(1000 * (_time2.perf_counter() - _t_c)))
         results.update(crop_results)
     profiling.count("engine_jobs", len(jobs) - len(fallback_jobs))
     profiling.count("fallback_jobs", len(fallback_jobs))
@@ -343,7 +388,8 @@ def skeletonize(
             teasar_params, anisotropy, fix_branching,
         )
 
-    return merge(skeletons)
+    with phase("merge"):
+        return merge(skeletons)
 
 
 def _run_host_fallback(
@@ -409,6 +455,65 @@ def format_labels(labels, in_place: bool = False) -> np.ndarray:
                 f"Got: {original_shape}"
             )
     return labels
+
+
+def _plan_streaming(clv, object_ids):
+    """Slab-streaming upload plan for a CompressedLabelVolume: one pass
+    over the slabs for min/max (and the >32-bit unique set when needed),
+    then an upload closure that device_puts one decompressed slab at a
+    time and concatenates ON DEVICE — peak host RAM stays at slab scale
+    (reference economy: intake.py:459 decompresses per-label crops from
+    the compressed array instead of materializing the volume).
+
+    Returns (minlabel, maxlabel, wide_back, upload_fn)."""
+    if not (clv.dtype == bool or np.issubdtype(clv.dtype, np.integer)):
+        raise TypeError(
+            f"Input labels must be an integer data type. Got: {clv.dtype}"
+        )
+    obj = None
+    if object_ids is not None:
+        obj = np.asarray(list(object_ids), dtype=clv.dtype)
+
+    minlabel, maxlabel = None, None
+    wide = clv.dtype.itemsize > 4
+    uniques = set()
+    for _, sl in clv.slabs():
+        if obj is not None:
+            sl = np.where(np.isin(sl, obj), sl, 0)
+        mn, mx = int(sl.min()), int(sl.max())
+        minlabel = mn if minlabel is None else min(minlabel, mn)
+        maxlabel = mx if maxlabel is None else max(maxlabel, mx)
+        if wide:
+            uniques.update(np.unique(sl).tolist())
+
+    wide_back = None
+    u_nz = None
+    if wide:
+        u_nz = np.array(sorted(x for x in uniques if x != 0),
+                        dtype=clv.dtype)
+        wide_back = {i + 1: int(v) for i, v in enumerate(u_nz)}
+
+    def upload():
+        import jax.numpy as jnp
+
+        parts = []
+        for _, sl in clv.slabs():
+            if obj is not None:
+                sl = np.where(np.isin(sl, obj), sl, 0)
+            if wide:
+                compact = np.searchsorted(u_nz, sl).astype(np.uint32) + 1
+                compact[sl == 0] = 0
+                sl = compact
+            if sl.dtype.itemsize > 2 and maxlabel < 2**16:
+                sl = sl.astype(np.uint16)
+            elif sl.dtype.itemsize > 4:
+                sl = sl.astype(np.uint32)
+            elif sl.dtype == bool:
+                sl = sl.view(np.uint8)
+            parts.append(jnp.asarray(sl))
+        return jnp.concatenate(parts, axis=2)
+
+    return minlabel, maxlabel, wide_back, upload
 
 
 def apply_object_mask(all_labels: np.ndarray, object_ids) -> np.ndarray:
