@@ -295,12 +295,16 @@ def main():
                                    for k, v in nstats["phases"].items()},
                 "neurite_counters": nstats["counters"],
             }
-        except Exception:
-            pass
+        except Exception as e:
+            neurite = {
+                "neurite_error": f"{type(e).__name__}: {e}"[:300],
+            }
 
     # cross-section throughput on a representative skeleton (reference
     # baseline: ~2.5 ms/vertex on Apple M3, utility.py:226-229)
     xs_ms_per_vertex = None
+    profiling.reset_stats()
+    profiling.collect(True)
     try:
         mid = sorted(skels.values(), key=lambda s: abs(len(s) - 800))[0]
         # first run compiles (persisted to .jax_cache); the second
@@ -317,7 +321,9 @@ def main():
         if len(mid.vertices):
             xs_ms_per_vertex = round(1000.0 * dt / len(mid.vertices), 4)
     except Exception as e:
-        xs_ms_per_vertex = f"error: {type(e).__name__}: {e}"
+        xs_ms_per_vertex = f"error: {type(e).__name__}: {e}"[:300]
+    xs_counters = profiling.get_stats()["counters"]
+    profiling.collect(False)
 
     # oracle parity measured THROUGH the live backend (VERDICT r2 item 6:
     # the >=99% parity suite runs on CPU in CI; this re-runs the same five
@@ -358,6 +364,7 @@ def main():
         "phases": phases,
         "counters": stats["counters"],
         "xs_ms_per_vertex": xs_ms_per_vertex,
+        "xs_counters": xs_counters,
         "parity_pct_min": parity_pct,
         "backend": _backend_name(),
     }

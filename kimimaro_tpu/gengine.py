@@ -88,10 +88,15 @@ def _pick_crop(jobs, vol_shape) -> Tuple[int, int, int]:
 
 
 def _crop_argmax(packed, cc16, offs, lids, crop: Tuple[int, int, int],
-                 chunk: int = 128):
+                 chunk: Optional[int] = None):
     """Per-label argmax of a globally packed f32 field over the label's
     voxels inside its gather crop. Returns (flat_idx_in_crop (N,), value
-    (N,)). Lane-chunked scan bounds the materialized crops."""
+    (N,)). Lane-chunked scan bounds the materialized crops: the chunk
+    adapts to the crop so the live slices stay under ~0.75 GB (big crops
+    from winding neurite bboxes OOM'd the fixed 128-lane chunk)."""
+    if chunk is None:
+        crop_bytes = 6 * int(np.prod(crop))  # f32 slice + u16 slice
+        chunk = int(min(128, max(4, (768 << 20) // max(crop_bytes, 1))))
 
     def one(off, lid):
         c = jax.lax.dynamic_slice(packed, (off[0], off[1], off[2]), crop)
@@ -125,6 +130,86 @@ def _unflatten_crop(idx, offs, crop):
     y = r // crop[2]
     z = r - y * crop[2]
     return offs + jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+
+
+def _shift3(a, off, fill):
+    """out[v] = a[v + off] with `fill` beyond the volume (static off)."""
+    pads = []
+    slcs = []
+    for d, n in zip(off, a.shape):
+        pads.append((max(-d, 0), max(d, 0)))
+        slcs.append(slice(max(d, 0), max(d, 0) + n))
+    return jnp.pad(a, pads, constant_values=fill)[tuple(slcs)]
+
+
+def _descent_code(d_rail, cc):
+    """Per-voxel descent byte: (first-min neighbor index k in [0,27) << 1)
+    | (d_rail <= 0). Replicates _chase_global's tie-break exactly (argmin
+    over the 27-window in lexicographic offset order, center +inf,
+    cross-label neighbors +inf). One fused stencil pass per iteration
+    turns every chase step from two 27-voxel window gathers per lane into
+    a single byte gather."""
+    best = jnp.full(d_rail.shape, INF, dtype=jnp.float32)
+    bestk = jnp.zeros(d_rail.shape, dtype=jnp.uint8)
+    k = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if dx == 0 and dy == 0 and dz == 0:
+                    k += 1
+                    continue
+                nv = _shift3(d_rail, (dx, dy, dz), INF)
+                ncc = _shift3(cc, (dx, dy, dz), jnp.int32(-1))
+                v = jnp.where(ncc == cc, nv, INF)
+                take = v < best
+                best = jnp.where(take, v, best)
+                bestk = jnp.where(take, jnp.uint8(k), bestk)
+                k += 1
+    return (bestk << jnp.uint8(1)) | (d_rail <= 0.0).astype(jnp.uint8)
+
+
+def _chase_codes(code_flat, starts, L: int, vol_shape):
+    """All labels chase their paths at once on the descent-code volume:
+    per step each lane gathers ONE byte and advances by the decoded
+    offset. Same contract as _chase_global: (flat_path (N, L) int32 with
+    -1 padding, plen (N,), reached (N,))."""
+    sy = vol_shape[1] * vol_shape[2]
+    sz = vol_shape[2]
+    deltas = np.zeros((27,), dtype=np.int32)
+    k = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                deltas[k] = dx * sy + dy * sz + dz
+                k += 1
+    deltas_d = jnp.asarray(deltas)
+    size = int(np.prod(vol_shape))
+
+    starts_flat = (starts[:, 0].astype(jnp.int32) * sy
+                   + starts[:, 1].astype(jnp.int32) * sz
+                   + starts[:, 2].astype(jnp.int32))
+
+    def one(start):
+        def cond(state):
+            i, cur, path, done = state
+            return (~done) & (i < L)
+
+        def body(state):
+            i, cur, path, done = state
+            path = path.at[i].set(cur)
+            c = code_flat[cur]
+            at_rail = (c & 1) == 1
+            nxt = jnp.clip(cur + deltas_d[(c >> 1).astype(jnp.int32)],
+                           0, size - 1)
+            cur = jnp.where(at_rail, cur, nxt)
+            return i + 1, cur, path, done | at_rail
+
+        path0 = jnp.full((L,), -1, dtype=jnp.int32)
+        i, cur, path, done = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), start, path0, jnp.bool_(False)))
+        return path, i, done
+
+    return jax.vmap(one)(starts_flat)
 
 
 def _chase_global(d_pad, cc_pad, starts, lids, L: int, vol_shape):
@@ -272,7 +357,7 @@ def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
 )
 def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
                it,
-               daf, dbf, cc_x, cc_y, cc_z, cc16, cc_pad,
+               daf, dbf, cc_x, cc_y, cc_z, cc16,
                offs, lids, roots,
                before_stack, after_stack, max_paths_arr,
                scale, const,
@@ -306,10 +391,11 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
     # inactive lanes chase from their root: at-rail on step 0, zero cost
     start = jnp.where(active[:, None], target, roots)
 
-    # --- chase on the shared rail field
-    d_pad = jnp.pad(d_rail, 1, constant_values=INF)
-    path_flat, plen, reached = _chase_global(
-        d_pad, cc_pad, start, lids, L, vol_shape)
+    # --- chase on the shared rail field (descent-code volume: one byte
+    # gather per step per lane instead of two 27-voxel window gathers)
+    code = _descent_code(d_rail, cc_x)
+    path_flat, plen, reached = _chase_codes(
+        code.ravel(), start, L, vol_shape)
     overflow = active & (~reached)
     plen = jnp.where(active, plen, 0)
 
@@ -495,7 +581,6 @@ def trace_global(
     cc_y = jnp.transpose(cc_x, gsweep._PERM_TO_Y)
     cc_z = jnp.transpose(cc_y, gsweep._PERM_Y_TO_Z)
     cc16 = cc_x.astype(jnp.uint16)
-    cc_pad = jnp.pad(cc16, 1, constant_values=0)
     dbf = dbf_dev.astype(jnp.float32)
 
     lids_d = jnp.asarray(lids)
@@ -599,7 +684,7 @@ def trace_global(
          stats, nc_mask) = _iteration(
             valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
             jnp.int32(it),
-            daf, dbf, cc_x, cc_y, cc_z, cc16, cc_pad,
+            daf, dbf, cc_x, cc_y, cc_z, cc16,
             offs_d, lids_d, roots_h,
             before_d, after_d, mp_d,
             jnp.float32(scale), jnp.float32(const),

@@ -246,18 +246,21 @@ def cross_section_areas(
         ts = jnp.asarray(np.array(vol_t.shape, np.int32))
 
         # window/round escalation: most sections are tiny (xs3d's cost
-        # model, reference utility.py:221-229); serpentine or giant
-        # sections climb to wider windows, then the dense 3D flood
-        def _slab_rung(W, rounds):
+        # model, reference utility.py:221-229) and converge in the small
+        # dilation window; fat or serpentine sections climb to directed
+        # full-window SWEEP rungs (O(turns) rounds, xsslab._sweep_rounds),
+        # then the dense 3D flood as the last resort
+        def _slab_rung(W, rounds, method="dilate"):
             def run(fg, v, m, ts_, an):
                 return xsslab.slab_sections_batch(
-                    fg, v, m, ts_, an, W=W, rounds=rounds)
+                    fg, v, m, ts_, an, W=W, rounds=rounds, method=method)
             return run
 
         rungs = [_slab_rung(64, 96)]
         if max(pshape[0], pshape[1]) > 64:
-            rungs.append(_slab_rung(256, 384))
-        rungs.append(_slab_rung(max(pshape[0], pshape[1]), 1024))
+            rungs.append(_slab_rung(256, 4, method="sweep"))
+        rungs.append(_slab_rung(max(pshape[0], pshape[1]), 10,
+                                method="sweep"))
         rungs.append(_dense_rung(192))
 
         a, c = _run_batches(

@@ -71,11 +71,79 @@ def _kdilate(bits):
     return bits | (bits << jnp.uint32(1)) | (bits >> jnp.uint32(1))
 
 
+def _sweep_rounds(seed, secb, zb, rounds: int):
+    """Directional-sweep flood over the (W, W) bitplane words: each round
+    runs 4 directed full-window sweeps (+x, -x, +y, -y as lax.scans whose
+    carry is the previous column/row), so information crosses the whole
+    window in ONE round and convergence takes O(section turns) rounds
+    instead of O(section diameter) dilation rounds — the fat-section
+    (soma / dense-Voronoi) regime where the dilation kernel drowned.
+    Returns (kept, changed_in_last_round)."""
+    W = seed.shape[0]
+
+    def infill(r, sb):
+        # vertical (in-word) run fill: K=5 bits need 4 adjacency passes
+        for _ in range(K - 1):
+            r = (r | _kdilate(r)) & sb
+        return r
+
+    def sweep(r, axis: int, reverse: bool):
+        # scan along `axis`; each step pulls from the previous line's
+        # three neighbor columns (dy in -1,0,1), rebased by zb delta
+        rt = r.T if axis == 1 else r
+        st = secb.T if axis == 1 else secb
+        zt = zb.T if axis == 1 else zb
+        if reverse:
+            rt, st, zt = rt[::-1], st[::-1], zt[::-1]
+
+        def step(carry, x):
+            prev_r, prev_zb = carry
+            cur_r, cur_sb, cur_zb = x
+            cand = cur_r
+            for dy in (-1, 0, 1):
+                pr = _shift1(prev_r, dy)
+                pz = _shift1(prev_zb, dy)
+                al = _var_shift(pr, pz - cur_zb)
+                cand = cand | _kdilate(al)
+            new = infill(cand & cur_sb, cur_sb)
+            return (new, cur_zb), new
+
+        zero = jnp.zeros((W,), jnp.uint32)
+        (_, _), out = jax.lax.scan(
+            step, (zero, zt[0]), (rt, st, zt))
+        if reverse:
+            out = out[::-1]
+        return out.T if axis == 1 else out
+
+    def body(carry, _):
+        r, _ = carry
+        r0 = r
+        for axis in (0, 1):
+            for rev in (False, True):
+                r = sweep(r, axis, rev)
+        return (r, jnp.any(r != r0)), None
+
+    (kept, changed), _ = jax.lax.scan(
+        body, (infill(seed, secb), jnp.bool_(True)), None,
+        length=int(rounds) + 1)
+    return kept, changed
+
+
+def _shift1(a, d):
+    """1D shift with zero fill: out[i] = a[i+d]."""
+    if d == 0:
+        return a
+    pad = jnp.zeros((1,) + a.shape[1:], dtype=a.dtype)
+    return (jnp.concatenate([a[d:], pad]) if d > 0
+            else jnp.concatenate([pad, a[:-1]]))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("anisotropy", "W", "rounds"))
+    jax.jit, static_argnames=("anisotropy", "W", "rounds", "method"))
 def slab_sections_batch(fg, verts, normals, true_shape,
                         anisotropy: Tuple[float, float, float],
-                        W: int = 64, rounds: int = 96):
+                        W: int = 64, rounds: int = 96,
+                        method: str = "dilate"):
     """Batched windowed cross sections with the dominant axis LAST.
 
     fg: (X, Y, Z) bool, False-padded beyond true_shape ((3,) int32).
@@ -83,7 +151,11 @@ def slab_sections_batch(fg, verts, normals, true_shape,
     the SAME permuted axis order; anisotropy likewise. Every query must
     satisfy |n_z|*s_z = max_a |n_a|*s_a (host grouping). Returns
     (areas (B,), contacts (B,) uint8 in permuted xxyyzz bit order — the
-    caller remaps to original axes, conv (B,) bool)."""
+    caller remaps to original axes, conv (B,) bool).
+
+    method="dilate": per-round 8-neighbor dilation (best for small
+    sections at small W); "sweep": 4 directed full-window sweeps per round
+    (converges in O(turns) rounds — the escalation rungs)."""
     s = np.asarray(anisotropy, dtype=np.float32)
     X, Y, Z = fg.shape
     W = int(min(W, X, Y))
@@ -131,24 +203,27 @@ def slab_sections_batch(fg, verts, normals, true_shape,
             jnp.uint32(0))
         seed = jnp.zeros((W, W), jnp.uint32).at[si, sj].set(seedbit) & secb
 
-        def body(carry, _):
-            r, _ = carry
-            nxt = r | _kdilate(r)
-            for dx in (-1, 0, 1):
-                for dy in (-1, 0, 1):
-                    if dx == 0 and dy == 0:
-                        continue
-                    rs = _shift2(r, dx, dy, jnp.uint32(0))
-                    zbs = _shift2(zb, dx, dy, jnp.int32(0))
-                    # neighbor bit k' sits at true z = zb_nbr + k', i.e.
-                    # our k = k' + (zb_nbr - zb)
-                    al = _var_shift(rs, zbs - zb)
-                    nxt = nxt | _kdilate(al)
-            nxt = nxt & secb
-            return (nxt, jnp.any(nxt != r)), None
+        if method == "sweep":
+            kept, changed = _sweep_rounds(seed, secb, zb, rounds)
+        else:
+            def body(carry, _):
+                r, _ = carry
+                nxt = r | _kdilate(r)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        rs = _shift2(r, dx, dy, jnp.uint32(0))
+                        zbs = _shift2(zb, dx, dy, jnp.int32(0))
+                        # neighbor bit k' sits at true z = zb_nbr + k',
+                        # i.e. our k = k' + (zb_nbr - zb)
+                        al = _var_shift(rs, zbs - zb)
+                        nxt = nxt | _kdilate(al)
+                nxt = nxt & secb
+                return (nxt, jnp.any(nxt != r)), None
 
-        (kept, changed), _ = jax.lax.scan(
-            body, (seed, jnp.bool_(True)), None, length=int(rounds) + 1)
+            (kept, changed), _ = jax.lax.scan(
+                body, (seed, jnp.bool_(True)), None, length=int(rounds) + 1)
 
         # window edges that are NOT crop faces: reaching one means the
         # section may continue outside the window -> escalate
