@@ -885,3 +885,137 @@ def paths_to_skeleton(path_list, anisotropy) -> Skeleton:
          [0, anisotropy[1], 0, 0],
          [0, 0, anisotropy[2], 0]], dtype=np.float32)
     return skel
+
+
+def paths_to_skeletons_batched(results, offsets_by_segid, anisotropy):
+    """Vectorized finalize: every label's paths -> consolidated Skeleton in
+    ONE set of array passes (semantics identical to per-label
+    paths_to_skeleton: from_path consecutive-dup fusion, consolidate's
+    first-occurrence vertex dedup in (x,y,z)-sorted order, undirected edge
+    dedup, disconnected-vertex removal, last-write-wins radii — reference
+    trace.py:182-193). The per-label loop cost ~2 ms x thousands of labels;
+    this replaces it with ~15 numpy passes over the concatenated paths.
+
+    results: {segid: [(verts int (P,3) in bbox frame, radii (P,)), ...]}
+    offsets_by_segid: {segid: (3,) bbox offset}
+    Returns {segid: Skeleton} with GLOBAL voxel vertices (not yet scaled
+    to physical space; caller applies anisotropy/transform bookkeeping).
+    """
+    seg_list = [s for s in results if results[s]]
+    if not seg_list:
+        return {}
+    if len(seg_list) >= (1 << 16):
+        # key packing carries 16 bits of label index; huge id spaces take
+        # the per-label path
+        return None
+    seg_index = {s: i for i, s in enumerate(seg_list)}
+
+    vparts, rparts, sparts, pparts = [], [], [], []
+    pid = 0
+    for s in seg_list:
+        mn = np.asarray(offsets_by_segid[s], dtype=np.int64)
+        for verts, rads in results[s]:
+            if len(verts) == 0:
+                continue
+            v = np.asarray(verts, dtype=np.int64) + mn
+            vparts.append(v)
+            rparts.append(np.asarray(rads, dtype=np.float32))
+            sparts.append(np.full(len(v), seg_index[s], dtype=np.int64))
+            pparts.append(np.full(len(v), pid, dtype=np.int64))
+            pid += 1
+    if not vparts:
+        return {}
+
+    V = np.concatenate(vparts)          # (T, 3) global voxel coords
+    R = np.concatenate(rparts)          # (T,)
+    S = np.concatenate(sparts)          # (T,) label index
+    P = np.concatenate(pparts)          # (T,) path id
+
+    # from_path: fuse consecutive duplicates within a path
+    keep = np.ones(len(V), dtype=bool)
+    keep[1:] = (P[1:] != P[:-1]) | np.any(V[1:] != V[:-1], axis=1)
+    V, R, S, P = V[keep], R[keep], S[keep], P[keep]
+    T = len(V)
+
+    # vertex dedup per (label, voxel): pack into one uint64 key.
+    # coords < 2^16 per axis (volumes here are <= 2^16 on a side) and
+    # label index < 2^16 by construction of seg_list chunking upstream.
+    key = ((S.astype(np.uint64) << 48)
+           | (V[:, 0].astype(np.uint64) << 32)
+           | (V[:, 1].astype(np.uint64) << 16)
+           | V[:, 2].astype(np.uint64))
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    is_new = np.ones(T, dtype=bool)
+    is_new[1:] = ks[1:] != ks[:-1]
+    gid_sorted = np.cumsum(is_new) - 1
+    n_groups = int(gid_sorted[-1]) + 1
+    gid = np.empty(T, dtype=np.int64)
+    gid[order] = gid_sorted
+
+    # group -> representative (first occurrence) and last-write radii
+    rep = np.full(n_groups, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(rep, gid, np.arange(T, dtype=np.int64))
+    last = np.zeros(n_groups, dtype=np.int64)
+    np.maximum.at(last, gid, np.arange(T, dtype=np.int64))
+
+    g_verts = V[rep]
+    g_radii = R[last]
+    g_seg = S[rep]
+
+    # edges: consecutive path vertices, undirected, deduped
+    same_path = P[1:] == P[:-1]
+    e0 = gid[:-1][same_path]
+    e1 = gid[1:][same_path]
+    lo = np.minimum(e0, e1)
+    hi = np.maximum(e0, e1)
+    ekey = lo.astype(np.uint64) * np.uint64(n_groups) + hi.astype(np.uint64)
+    ekey = np.unique(ekey)
+    lo = (ekey // np.uint64(n_groups)).astype(np.int64)
+    hi = (ekey % np.uint64(n_groups)).astype(np.int64)
+
+    # disconnected-vertex removal + final per-group local ids. Groups are
+    # already ordered by (label, x, y, z) — consolidate's output order.
+    used = np.zeros(n_groups, dtype=bool)
+    used[lo] = True
+    used[hi] = True
+    final_id = np.cumsum(used) - 1
+    # per-label base offset of the local numbering
+    kept_seg = g_seg[used]
+    kept_verts = g_verts[used].astype(np.float32)
+    kept_radii = g_radii[used]
+    n_kept = len(kept_seg)
+    seg_starts = np.searchsorted(kept_seg, np.arange(len(seg_list)))
+    seg_ends = np.searchsorted(kept_seg, np.arange(len(seg_list)),
+                               side="right")
+
+    local = final_id - seg_starts[g_seg]
+    elo = local[lo].astype(np.uint32)
+    ehi = local[hi].astype(np.uint32)
+    eseg = g_seg[lo]
+    eorder = np.argsort(eseg, kind="stable")
+    elo, ehi, eseg = elo[eorder], ehi[eorder], eseg[eorder]
+    es_starts = np.searchsorted(eseg, np.arange(len(seg_list)))
+    es_ends = np.searchsorted(eseg, np.arange(len(seg_list)), side="right")
+
+    anisotropy = np.asarray(anisotropy, dtype=np.float32)
+    transform = np.array(
+        [[anisotropy[0], 0, 0, 0],
+         [0, anisotropy[1], 0, 0],
+         [0, 0, anisotropy[2], 0]], dtype=np.float32)
+
+    out = {}
+    for s, i in seg_index.items():
+        v0, v1 = int(seg_starts[i]), int(seg_ends[i])
+        if v1 <= v0:
+            continue
+        e0_, e1_ = int(es_starts[i]), int(es_ends[i])
+        skel = Skeleton(
+            kept_verts[v0:v1],
+            np.stack([elo[e0_:e1_], ehi[e0_:e1_]], axis=1),
+            kept_radii[v0:v1],
+            segid=s,
+        )
+        skel.transform = transform.copy()
+        out[s] = skel
+    return out

@@ -655,11 +655,12 @@ def trace_global(
     mp_d = jnp.asarray(max_paths_arr)
     roots_h = roots  # device (N, 3)
 
-    # each label's last full-volume iteration costs the same as the
-    # first's, so once the active set is this small the crop engine
-    # finishes the stragglers cheaper than more lock-step rounds
-    bail_n = int(os.environ.get("KIMIMARO_TPU_GENGINE_BAIL",
-                                str(max(4, N // 64))))
+    # bail: hand labels still active after an iteration to the crop
+    # engine instead of more lock-step rounds. With the descent-code
+    # chase an iteration costs ~0.4 s at 512^3 while a crop-engine pass
+    # costs ~3 s, so by default the loop runs to n_act == 0 (bail 0);
+    # KIMIMARO_TPU_GENGINE_BAIL restores the old early-exit if needed
+    bail_n = int(os.environ.get("KIMIMARO_TPU_GENGINE_BAIL", "0"))
 
     pending = []  # (it, stats (2,) int32 dev, nc_mask dev)
     taint_nc = np.zeros(N, dtype=bool)

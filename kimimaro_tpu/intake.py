@@ -367,19 +367,32 @@ def skeletonize(
     offsets_by_segid = {j["segid"]: j["offset"] for j in jobs}
     with phase("finalize"):
         skeletons = defaultdict(list)
-        for segid, path_list in results.items():
-            skel = engine.paths_to_skeleton(path_list, anisotropy)
-            if skel.empty():
-                continue
-            mn = offsets_by_segid[segid]
-            skel.vertices += mn.astype(np.float32)
-            orig_segid = remapping[segid]
-            skel.id = orig_segid
-            skel.vertices = np.multiply(
-                skel.vertices, anisotropy, dtype=np.float32
-            )
-            skel.space = "physical"
-            skeletons[orig_segid].append(skel)
+        batched = engine.paths_to_skeletons_batched(
+            results, offsets_by_segid, anisotropy)
+        if batched is None:
+            # >=2^16 labels: per-label fallback (identical semantics)
+            for segid, path_list in results.items():
+                skel = engine.paths_to_skeleton(path_list, anisotropy)
+                if skel.empty():
+                    continue
+                mn = offsets_by_segid[segid]
+                skel.vertices += mn.astype(np.float32)
+                orig_segid = remapping[segid]
+                skel.id = orig_segid
+                skel.vertices = np.multiply(
+                    skel.vertices, anisotropy, dtype=np.float32
+                )
+                skel.space = "physical"
+                skeletons[orig_segid].append(skel)
+        else:
+            for segid, skel in batched.items():
+                orig_segid = remapping[segid]
+                skel.id = orig_segid
+                skel.vertices = np.multiply(
+                    skel.vertices, anisotropy, dtype=np.float32
+                )
+                skel.space = "physical"
+                skeletons[orig_segid].append(skel)
 
     # host fallback for jobs exceeding the device buffers
     with phase("host_fallback"):
@@ -553,6 +566,12 @@ def merge(skeletons: Dict[int, List[Skeleton]]) -> Dict[int, Skeleton]:
     (reference intake.py:587-593)."""
     merged = {}
     for segid, skels in skeletons.items():
+        if len(skels) == 1:
+            # every producer (batched finalize, paths_to_skeleton, host
+            # fallback) emits already-consolidated skeletons
+            skels[0].id = segid
+            merged[segid] = skels[0]
+            continue
         skel = Skeleton.simple_merge(skels)
         skel.id = segid
         merged[segid] = skel.consolidate()
