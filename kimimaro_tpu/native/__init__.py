@@ -50,6 +50,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
         ctypes.c_long,
     ]
+    if hasattr(lib, "kt_bbox_ids"):
+        lib.kt_bbox_ids.restype = ctypes.c_long
+        lib.kt_bbox_ids.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
     _lib = lib
     return _lib
 
@@ -70,6 +78,38 @@ def find_cycle(edges: np.ndarray) -> Optional[np.ndarray]:
     if n < 0:
         return None
     return out[:n]
+
+
+def bbox_ids(labels: np.ndarray, ids) -> Optional[dict]:
+    """Single-pass bboxes of arbitrary label ids over the raw volume;
+    {id: (mn (3,), mx (3,) inclusive)} for present ids, or None when the
+    library is unavailable / dtype unsupported."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "kt_bbox_ids"):
+        return None
+    labels = np.asarray(labels)
+    if labels.ndim != 3 or labels.dtype.kind not in "ui":
+        return None
+    labels = np.ascontiguousarray(labels)
+    ids_arr = np.asarray(sorted({int(i) for i in ids}), dtype=np.uint64)
+    k = len(ids_arr)
+    if k == 0:
+        return {}
+    out = np.empty((k, 6), dtype=np.int64)
+    rc = lib.kt_bbox_ids(
+        labels.ctypes.data_as(ctypes.c_void_p),
+        labels.dtype.itemsize,
+        labels.shape[0], labels.shape[1], labels.shape[2],
+        ids_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return {
+        int(i): (out[j, :3].copy(), out[j, 3:].copy())
+        for j, i in enumerate(ids_arr)
+        if out[j, 0] >= 0
+    }
 
 
 def create_distance_graph(vertices: np.ndarray, edges: np.ndarray):

@@ -156,4 +156,63 @@ long kt_distance_graph(const float* verts, long n_verts,
   return count;
 }
 
+/* Bounding boxes of arbitrary label ids in ONE pass over the raw volume —
+ * the role find_objects plays in the reference (utility.py:86-90) without
+ * the renumber it needs first. ids: k sorted uint64 ids; out: k*6 int64
+ * rows (minx,miny,minz,maxx,maxy,maxz), min=-1 marks "absent". A one-entry
+ * run cache skips the hash lookup inside constant-label runs, which
+ * dominate segmentation volumes. labels are uint{8,16,32,64} chosen by
+ * `bytes`. Returns 0, or -1 on bad args. */
+long kt_bbox_ids(const void* labels_raw, long bytes,
+                 long X, long Y, long Z,
+                 const uint64_t* ids, long k, int64_t* out) {
+  if (k <= 0) return 0;
+  std::unordered_map<uint64_t, long> index;
+  index.reserve(static_cast<size_t>(k) * 2);
+  for (long i = 0; i < k; i++) {
+    index.emplace(ids[i], i);
+    out[6 * i] = out[6 * i + 1] = out[6 * i + 2] = -1;
+    out[6 * i + 3] = out[6 * i + 4] = out[6 * i + 5] = -1;
+  }
+
+  uint64_t run_label = ~uint64_t(0);
+  long run_idx = -2;  // -1 = "not tracked", -2 = invalid cache
+
+  auto visit = [&](uint64_t l, long x, long y, long z) {
+    if (l != run_label || run_idx == -2) {
+      run_label = l;
+      auto it = index.find(l);
+      run_idx = (it == index.end()) ? -1 : it->second;
+    }
+    if (run_idx < 0) return;
+    int64_t* r = out + 6 * run_idx;
+    if (r[0] < 0) {
+      r[0] = x; r[1] = y; r[2] = z; r[3] = x; r[4] = y; r[5] = z;
+    } else {
+      if (x < r[0]) r[0] = x;
+      if (y < r[1]) r[1] = y;
+      if (z < r[2]) r[2] = z;
+      if (x > r[3]) r[3] = x;
+      if (y > r[4]) r[4] = y;
+      if (z > r[5]) r[5] = z;
+    }
+  };
+
+  auto sweep = [&](auto* p) {
+    long i = 0;
+    for (long x = 0; x < X; x++)
+      for (long y = 0; y < Y; y++)
+        for (long z = 0; z < Z; z++, i++)
+          visit(static_cast<uint64_t>(p[i]), x, y, z);
+  };
+  switch (bytes) {
+    case 1: sweep(reinterpret_cast<const uint8_t*>(labels_raw)); break;
+    case 2: sweep(reinterpret_cast<const uint16_t*>(labels_raw)); break;
+    case 4: sweep(reinterpret_cast<const uint32_t*>(labels_raw)); break;
+    case 8: sweep(reinterpret_cast<const uint64_t*>(labels_raw)); break;
+    default: return -1;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -79,8 +79,6 @@ def _sweep_rounds(seed, secb, zb, rounds: int):
     instead of O(section diameter) dilation rounds — the fat-section
     (soma / dense-Voronoi) regime where the dilation kernel drowned.
     Returns (kept, changed_in_last_round)."""
-    W = seed.shape[0]
-
     def infill(r, sb):
         # vertical (in-word) run fill: K=5 bits need 4 adjacency passes
         for _ in range(K - 1):
@@ -108,7 +106,7 @@ def _sweep_rounds(seed, secb, zb, rounds: int):
             new = infill(cand & cur_sb, cur_sb)
             return (new, cur_zb), new
 
-        zero = jnp.zeros((W,), jnp.uint32)
+        zero = jnp.zeros((rt.shape[1],), jnp.uint32)
         (_, _), out = jax.lax.scan(
             step, (zero, zt[0]), (rt, st, zt))
         if reverse:
@@ -158,15 +156,20 @@ def slab_sections_batch(fg, verts, normals, true_shape,
     (converges in O(turns) rounds — the escalation rungs)."""
     s = np.asarray(anisotropy, dtype=np.float32)
     X, Y, Z = fg.shape
-    W = int(min(W, X, Y))
+    # rectangular window: clamp per axis (a square min(W, X, Y) clamp
+    # made the "full-window" escalation rung silently too small along the
+    # larger axis of asymmetric crops, so wide sections could never
+    # converge and every one escalated to the dense 3D rung)
+    Wx = int(min(W, X))
+    Wy = int(min(W, Y))
     fg_flat = fg.reshape(-1)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-    jw = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (Wx, Wy), 0)
+    jw = jax.lax.broadcasted_iota(jnp.int32, (Wx, Wy), 1)
 
     def one(vert, normal):
         tx, ty, tz = true_shape[0], true_shape[1], true_shape[2]
-        wx0 = jnp.clip(vert[0] - W // 2, 0, jnp.maximum(X - W, 0))
-        wy0 = jnp.clip(vert[1] - W // 2, 0, jnp.maximum(Y - W, 0))
+        wx0 = jnp.clip(vert[0] - Wx // 2, 0, jnp.maximum(X - Wx, 0))
+        wy0 = jnp.clip(vert[1] - Wy // 2, 0, jnp.maximum(Y - Wy, 0))
         gx = wx0 + iw  # global (crop-frame) coords of window columns
         gy = wy0 + jw
 
@@ -201,7 +204,7 @@ def slab_sections_batch(fg, verts, normals, true_shape,
             (kseed >= 0) & (kseed < K),
             jnp.uint32(1) << jnp.clip(kseed, 0, K - 1).astype(jnp.uint32),
             jnp.uint32(0))
-        seed = jnp.zeros((W, W), jnp.uint32).at[si, sj].set(seedbit) & secb
+        seed = jnp.zeros((Wx, Wy), jnp.uint32).at[si, sj].set(seedbit) & secb
 
         if method == "sweep":
             kept, changed = _sweep_rounds(seed, secb, zb, rounds)
@@ -228,9 +231,9 @@ def slab_sections_batch(fg, verts, normals, true_shape,
         # window edges that are NOT crop faces: reaching one means the
         # section may continue outside the window -> escalate
         esc = ((gx == wx0) & (wx0 > 0)) | \
-              ((gx == wx0 + W - 1) & (wx0 + W < tx)) | \
+              ((gx == wx0 + Wx - 1) & (wx0 + Wx < tx)) | \
               ((gy == wy0) & (wy0 > 0)) | \
-              ((gy == wy0 + W - 1) & (wy0 + W < ty))
+              ((gy == wy0 + Wy - 1) & (wy0 + Wy < ty))
         escaped = jnp.any((kept != 0) & esc)
         conv = (~changed) & (~escaped)
 

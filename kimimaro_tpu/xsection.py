@@ -8,6 +8,7 @@ attributes; supports smoothing_window, step, multipass, repair_contacts.
 
 from __future__ import annotations
 
+import functools
 from collections import defaultdict
 from typing import Dict, List, Optional, Union
 
@@ -30,6 +31,67 @@ XS_CONTACT_PROP = {
 }
 
 
+def _id_bboxes_device(all_labels, ids):
+    """Inclusive per-id bounding boxes straight off the RAW label volume —
+    no renumber, no relabeled copy. One device pass per axis: sort the
+    packed key label*dim + coord; each id's voxels form one contiguous run
+    whose first/last entries are its bbox extremes (same machinery as
+    ops.ccl.label_info, reference utility.py:86-90's find_objects role).
+    Returns {id: (mn (3,), mx (3,))} for ids present in the volume, or
+    None when the dtype/id range can't be packed (caller falls back to the
+    host renumber path)."""
+    import jax
+    import jax.numpy as jnp
+
+    ids = np.asarray(sorted({int(i) for i in ids}), dtype=np.int64)
+    if ids.size == 0:
+        return {}
+    shape = all_labels.shape
+    maxdim = max(shape)
+    # int32 key packing (x64 stays off): (id+2)*dim must fit in int31
+    if (all_labels.dtype.kind not in "ui"
+            or int(ids.max()) + 2 > (2**31 - 1) // maxdim
+            or int(ids.min()) < 0):
+        return None
+
+    @functools.lru_cache(maxsize=8)
+    def kernel(shp, nids):
+        @jax.jit
+        def run(flat, ids_d):
+            flat32 = flat.astype(jnp.int32)
+            mns, mxs = [], []
+            for axis in range(3):
+                na = shp[axis]
+                coord = jax.lax.broadcasted_iota(
+                    jnp.int32, shp, axis).ravel()
+                s = jnp.sort(flat32 * na + coord)
+                lo = jnp.searchsorted(s, ids_d * na)
+                hi = jnp.searchsorted(s, (ids_d + 1) * na)
+                present = hi > lo
+                mn = s[jnp.clip(lo, 0, s.shape[0] - 1)] - ids_d * na
+                mx = s[jnp.clip(hi - 1, 0, s.shape[0] - 1)] - ids_d * na
+                mns.append(jnp.where(present, mn, -1))
+                mxs.append(jnp.where(present, mx, -1))
+            return jnp.stack(mns, axis=1), jnp.stack(mxs, axis=1)
+
+        return run
+
+    # pad the id list so one compilation serves nearby query sizes
+    nids = 1 << max(int(np.ceil(np.log2(ids.size))), 4)
+    ids_p = np.concatenate(
+        [ids, np.full(nids - ids.size, ids[-1], dtype=np.int64)])
+    mn, mx = kernel(tuple(int(s) for s in shape), nids)(
+        jnp.asarray(np.ascontiguousarray(all_labels).reshape(-1)),
+        jnp.asarray(ids_p.astype(np.int32)))
+    mn = np.asarray(jax.device_get(mn))[: ids.size]
+    mx = np.asarray(jax.device_get(mx))[: ids.size]
+    out = {}
+    for k, i in enumerate(ids):
+        if mn[k, 0] >= 0:
+            out[int(i)] = (mn[k], mx[k])
+    return out
+
+
 def shape_iterator(all_labels, skeletons, fill_holes, in_place, progress, fn):
     """Iterate skeletons with their grown binary bbox crops
     (reference utility.py:114-166)."""
@@ -43,7 +105,45 @@ def shape_iterator(all_labels, skeletons, fill_holes, in_place, progress, fn):
     else:
         iterator = list(skeletons)
 
+    import time as _time
+
+    from .utils import profiling
+
     all_labels = np.asarray(all_labels)
+
+    if all_labels.dtype != bool:
+        from . import native
+
+        _t0 = _time.perf_counter()
+        want = [s.id for s in iterator if s.id != 0]
+        # host single-pass first (no upload, no renumber), then the device
+        # sort path, then the generic renumber+find_objects fallback
+        bboxes = native.bbox_ids(all_labels, want)
+        if bboxes is None:
+            bboxes = _id_bboxes_device(all_labels, want)
+        profiling.count("xs_bbox_ms",
+                        int(1000 * (_time.perf_counter() - _t0)))
+        if bboxes is not None:
+            for skel in iterator:
+                if skel.id == 0 or skel.id not in bboxes:
+                    continue
+                mn, mx = bboxes[skel.id]
+                roi = Bbox(mn, mx + 1)
+                if roi.volume() <= 1:
+                    continue
+                roi.grow(1)
+                roi.minpt = np.clip(roi.minpt, 0, None)
+                roi.maxpt = np.minimum(
+                    roi.maxpt, np.array(all_labels.shape))
+                slices = roi.to_slices()
+                binimg = all_labels[slices] == skel.id
+                if fill_holes:
+                    binimg = np.asarray(
+                        jax.device_get(fill_ops.fill(binimg)))
+                fn(skel, binimg, roi)
+            return iterator
+
+    _t0 = _time.perf_counter()
     if all_labels.dtype == bool:
         remapping = {True: 1, False: 0, 1: 1, 0: 0}
         lookup = all_labels.view(np.uint8)
@@ -60,8 +160,13 @@ def shape_iterator(all_labels, skeletons, fill_holes, in_place, progress, fn):
         full_new = np.concatenate([[0], new_ids]) if has_bg else new_ids
         lookup = full_new[inv].reshape(all_labels.shape)
         remapping = {int(u): int(n) for u, n in zip(fg_uniq, new_ids)}
+    profiling.count("xs_renumber_ms",
+                    int(1000 * (_time.perf_counter() - _t0)))
 
+    _t0 = _time.perf_counter()
     all_slices = find_objects(lookup)
+    profiling.count("xs_findobj_ms",
+                    int(1000 * (_time.perf_counter() - _t0)))
 
     for skel in iterator:
         label = 1 if all_labels.dtype == bool else skel.id

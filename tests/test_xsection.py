@@ -125,3 +125,48 @@ def test_oversegment():
     assert hasattr(skel, "segments")
     assert len(skel.segments) == len(skel.vertices)
     assert np.all(skel.segments > 0)
+
+
+def test_bbox_ids_native_and_device_match_scipy():
+    """The fast bbox-by-id paths (native single pass, device sort) must
+    agree with scipy find_objects on raw (non-renumbered) labels."""
+    import scipy.ndimage as ndi
+
+    from kimimaro_tpu import native
+    from kimimaro_tpu.xsection import _id_bboxes_device
+
+    rng = np.random.RandomState(7)
+    labels = np.zeros((23, 17, 11), dtype=np.uint32)
+    ids = [5, 900, 31, 77]
+    for i in ids:
+        c = rng.randint(0, [18, 12, 6])
+        labels[c[0]: c[0] + rng.randint(2, 6),
+               c[1]: c[1] + rng.randint(2, 6),
+               c[2]: c[2] + rng.randint(2, 6)] = i
+
+    present = [i for i in ids if (labels == i).any()]
+    want = present + [4242]  # 4242 absent
+
+    expected = {}
+    for i in present:
+        sl = ndi.find_objects(labels == i)[0]
+        expected[i] = (
+            np.array([s.start for s in sl]),
+            np.array([s.stop - 1 for s in sl]),
+        )
+
+    for got in (native.bbox_ids(labels, want),
+                _id_bboxes_device(labels, want)):
+        assert got is not None
+        assert set(got) == set(present)
+        for i in present:
+            np.testing.assert_array_equal(got[i][0], expected[i][0])
+            np.testing.assert_array_equal(got[i][1], expected[i][1])
+
+    # uint64 ids beyond the device packing range: native handles them,
+    # device path declines
+    big = labels.astype(np.uint64)
+    big[big == 5] = 2**40
+    got = native.bbox_ids(big, [2**40])
+    np.testing.assert_array_equal(got[2**40][0], expected[5][0])
+    assert _id_bboxes_device(big, [2**40]) is None
