@@ -722,11 +722,6 @@ def trace_batched(
             K = K_CAP
             L = max(int(2 * sum(bshape)), 64)
             lanes = _lanes_for(bshape, len(group))
-            if has_vg:
-                # voxel-graph sweeps still use XLA's vmapped-scan lowering
-                # (the Pallas kernel has no graph masking); that lowering
-                # is only trusted narrow — see MAX_VOXEL_LANES
-                lanes = min(lanes, 4)
             if debug:
                 now = _time.perf_counter()
                 print(f"[engine] bucket {bshape} soma={soma} "

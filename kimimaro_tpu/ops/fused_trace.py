@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .geodesic import _sweep, OFFSETS26
+from .geodesic import OFFSETS26
 from .stencils import offset_costs
 
 INF = np.float32(np.inf)
@@ -72,46 +72,17 @@ def _relax_rounds(d, ok, nc, anisotropy, rounds: int, clamp_positive=False,
     self-touch walls (reference dijkstra_invalidation.hpp:150-191).
     """
 
-    if voxel_graph is None:
-        # ONE custom-batching boundary around the whole round loop: under
-        # the engine's vmap this lowers to the batched Pallas relax with
-        # hoisted ok/nc layouts and flip-free descending sweeps
-        from .geodesic import relax_rounds_batchable
+    # ONE custom-batching boundary around the whole round loop: under the
+    # engine's vmap this lowers to the batched Pallas relax with hoisted
+    # ok/nc layouts and flip-free descending sweeps. voxel_graph rides
+    # into the Pallas kernels as a uint32 operand (per-layout GRAPH_BITS),
+    # so self-touch volumes batch at full lane width too.
+    from .geodesic import relax_rounds_batchable
 
-        return relax_rounds_batchable(
-            d, ok, nc, anisotropy, rounds, clamp_positive, conv
-        )
-
-    def one_round(d):
-        for axis in range(3):
-            for direction in (1, -1):
-                d = _sweep(d, ok, nc, axis, direction, anisotropy,
-                           clamp_positive, voxel_graph=voxel_graph,
-                           pallas=False)
-        return d
-
-    # ONE scan body carrying a last-round-changed flag: converged iff the
-    # final round changed nothing (the final round doubles as the check
-    # round). A separate inlined check round would duplicate the whole
-    # sweep body in HLO and double volume-scale compile times.
-    def body(carry, _):
-        d, _ = carry
-        nd = one_round(d)
-        if conv == "reach":
-            changed = jnp.any(jnp.isfinite(nd) != jnp.isfinite(d))
-        elif conv == "negative":
-            changed = jnp.any(
-                jnp.where(nd <= 0, nd, INF) != jnp.where(d <= 0, d, INF)
-            )
-        else:
-            changed = jnp.any(nd != d)
-        return (nd, changed), None
-
-    (d, changed), _ = jax.lax.scan(
-        body, (d, jnp.bool_(True)), None, length=int(rounds) + 1
+    return relax_rounds_batchable(
+        d, ok, nc, anisotropy, rounds, clamp_positive, conv,
+        voxel_graph=voxel_graph,
     )
-    # NaN anywhere reads as changed (NaN != NaN) -> unconverged -> flagged
-    return d, ~changed
 
 
 def _relax_fixpoint(d, ok, nc, anisotropy, clamp_positive=False,

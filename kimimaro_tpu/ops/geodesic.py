@@ -160,19 +160,24 @@ def _relax_criterion(nd, d, conv: str):
 
 
 def _batched_relax_pallas(d, ok, nc, anisotropy, node_mode: bool,
-                          clamp_positive: bool, rounds: int, conv: str):
+                          clamp_positive: bool, rounds: int, conv: str,
+                          vg=None):
     """Full multi-round relaxation of a BATCH (B,X,Y,Z) with minimal HBM
     traffic: ok/nc move into each axis layout once (not once per sweep),
     ascending/descending pairs share one layout (descending runs through
     reversed Pallas index maps, no data flips), and d moves layouts twice
-    per non-leading axis per round."""
+    per non-leading axis per round. `vg` (optional): per-lane cc3d
+    voxel_graph bitfields — edges ride into the Pallas kernels via
+    per-layout GRAPH_BITS tables, so self-touch volumes get full-width
+    lanes too."""
     from . import pallas_sweep
+    from .stencils import GRAPH_BITS
 
     # Per axis, lay the volume out (B, swept, H, W) with the LARGER plane
     # dim in the lane (last) position: TPU tiles pad the lane dim to 128,
     # so a thin crop dim there amplifies every sweep's DMA by up to 8x.
     axis_cfg = []
-    oks, ncs = [], []
+    oks, ncs, vgs = [], [], []
     for a in range(3):
         rem = [i for i in range(3) if i != a]
         h_dim, w_dim = rem
@@ -184,18 +189,38 @@ def _batched_relax_pallas(d, ok, nc, anisotropy, node_mode: bool,
             float(anisotropy[a]), float(anisotropy[h_dim]),
             float(anisotropy[w_dim]),
         )
+        # GRAPH_BITS of -o per (descending, dy, dz), with o in the
+        # ORIGINAL frame: o[a] = -direction (+1 when descending),
+        # o[h_dim] = dy, o[w_dim] = dz — matching _sweep's neg_o rule
+        bits = []
+        for desc in (False, True):
+            row = []
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    o = [0, 0, 0]
+                    o[a] = 1 if desc else -1
+                    o[h_dim] = dy
+                    o[w_dim] = dz
+                    row.append(GRAPH_BITS[tuple(-c for c in o)])
+            bits.append(tuple(row))
         identity = perm_in == (0, 1, 2, 3)
-        axis_cfg.append((perm_in, perm_out, anis_perm, identity))
+        axis_cfg.append((perm_in, perm_out, anis_perm, identity,
+                         tuple(bits)))
         oks.append(ok if identity else jnp.transpose(ok, perm_in))
         ncs.append(nc if identity else jnp.transpose(nc, perm_in))
+        if vg is not None:
+            vgs.append(vg if identity else jnp.transpose(vg, perm_in))
 
     def one_round(dd):
-        for a, (perm_in, perm_out, anis_perm, identity) in enumerate(axis_cfg):
+        for a, (perm_in, perm_out, anis_perm, identity,
+                bits) in enumerate(axis_cfg):
             dm = dd if identity else jnp.transpose(dd, perm_in)
-            for desc in (False, True):
+            for di, desc in enumerate((False, True)):
                 dm = pallas_sweep.sweep_axis0_batched(
                     dm, oks[a], ncs[a], anis_perm, node_mode,
                     clamp_positive, descending=desc,
+                    vg=vgs[a] if vg is not None else None,
+                    bits9=bits[di] if vg is not None else None,
                 )
             dd = dm if identity else jnp.transpose(dm, perm_out)
         return dd
@@ -225,9 +250,11 @@ def _batched_relax_pallas(d, ok, nc, anisotropy, node_mode: bool,
 
 @functools.lru_cache(maxsize=None)
 def _relax_rounds_core(anisotropy, node_mode: bool, clamp_positive: bool,
-                       rounds: int, conv: str, batched_pallas: bool):
+                       rounds: int, conv: str, batched_pallas: bool,
+                       has_vg: bool = False):
     """custom-vmap'd multi-round relaxation: per-lane it is the scan-sweep
-    loop; under vmap it lowers to _batched_relax_pallas on TPU."""
+    loop; under vmap it lowers to _batched_relax_pallas on TPU. has_vg
+    threads a voxel_graph operand through both paths."""
     from jax.custom_batching import custom_vmap
 
     def _rounds_scan(d, ok, nc, sweep_fn):
@@ -247,40 +274,40 @@ def _relax_rounds_core(anisotropy, node_mode: bool, clamp_positive: bool,
         )
         return d, ~changed
 
-    @custom_vmap
-    def core(d, ok, nc):
+    def _lane_scan(d, ok, nc, vg):
         return _rounds_scan(
             d, ok, nc,
             lambda dd, o, n, a, direc: _sweep(
                 dd, o, n if node_mode else None, a, direc, anisotropy,
-                clamp_positive, pallas=False,
+                clamp_positive, voxel_graph=vg, pallas=False,
             ),
         )
 
+    @custom_vmap
+    def core(d, ok, nc, vg):
+        return _lane_scan(d, ok, nc, vg if has_vg else None)
+
     @core.def_vmap
-    def rule(axis_size, in_batched, d, ok, nc):
-        db, okb, ncb = in_batched
+    def rule(axis_size, in_batched, d, ok, nc, vg):
+        db, okb, ncb, vgb = in_batched
         if not db:
             d = jnp.broadcast_to(d[None], (axis_size,) + d.shape)
         if not okb:
             ok = jnp.broadcast_to(ok[None], (axis_size,) + ok.shape)
         if not ncb:
             nc = jnp.broadcast_to(nc[None], (axis_size,) + nc.shape)
+        if not vgb:
+            vg = jnp.broadcast_to(vg[None], (axis_size,) + vg.shape)
         if batched_pallas:
             out, cflag = _batched_relax_pallas(
                 d, ok, nc, anisotropy, node_mode, clamp_positive, rounds,
-                conv,
+                conv, vg=vg if has_vg else None,
             )
         else:
             out, cflag = jax.vmap(
-                lambda dd, oo, nn: _rounds_scan(
-                    dd, oo, nn,
-                    lambda x, o, n, a, direc: _sweep(
-                        x, o, n if node_mode else None, a, direc,
-                        anisotropy, clamp_positive, pallas=False,
-                    ),
-                )
-            )(d, ok, nc)
+                lambda dd, oo, nn, vv: _lane_scan(
+                    dd, oo, nn, vv if has_vg else None)
+            )(d, ok, nc, vg)
         return (out, cflag), (True, True)
 
     return core
@@ -288,19 +315,22 @@ def _relax_rounds_core(anisotropy, node_mode: bool, clamp_positive: bool,
 
 def relax_rounds_batchable(d, ok, nc, anisotropy, rounds: int,
                            clamp_positive: bool = False,
-                           conv: str = "exact"):
+                           conv: str = "exact", voxel_graph=None):
     """Multi-round relaxation with a convergence flag, safe and fast under
     vmap (ONE custom-batching boundary around the whole round loop: ok/nc
-    layouts hoisted, no flips). No voxel_graph support — graph callers use
-    the per-sweep path."""
+    layouts hoisted, no flips). voxel_graph (optional) rides into the
+    batched Pallas kernels as a uint32 bitfield operand."""
     anis = tuple(float(a) for a in anisotropy)
     node_mode = nc is not None
     nc_arr = nc if node_mode else jnp.zeros_like(d)
+    has_vg = voxel_graph is not None
+    vg_arr = (voxel_graph.astype(jnp.uint32) if has_vg
+              else jnp.zeros(d.shape, jnp.uint32))
     core = _relax_rounds_core(
         anis, node_mode, bool(clamp_positive), int(rounds), conv,
-        _use_batched_pallas(),
+        _use_batched_pallas(), has_vg,
     )
-    return core(d, ok, nc_arr)
+    return core(d, ok, nc_arr, vg_arr)
 
 
 def _use_batched_pallas() -> bool:

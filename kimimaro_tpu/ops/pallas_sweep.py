@@ -151,7 +151,8 @@ def _shift_lanes2d(p, dy, dz, fill):
 
 
 def _batched_kernel_factory(costs9, node_mode: bool, clamp_positive: bool,
-                            B: int, H: int, W: int):
+                            B: int, H: int, W: int,
+                            bits9: Optional[Tuple[int, ...]] = None):
     """Kernel over (B, 1, H, W) blocks: every lane's plane i relaxed from
     the carried plane i-1 in one grid step (grid walks the swept axis;
     lanes ride the block's leading dim, so batch width costs no extra
@@ -160,39 +161,74 @@ def _batched_kernel_factory(costs9, node_mode: bool, clamp_positive: bool,
     The carried plane lives in an INF-bordered (B, H+2, W+2) scratch so
     the nine neighbor reads are static slices of one buffer instead of
     pad+concat chains (whose temporaries blow the 16 MB scoped-vmem
-    budget at useful lane counts)."""
+    budget at useful lane counts).
 
-    def kernel(d_ref, ok_ref, nc_ref, out_ref, prev_ref):
+    bits9 (optional): per-offset cc3d GRAPH_BITS indices. When set, a
+    voxel_graph operand rides along and a candidate reaching v from
+    u = v + o is admitted only when u's bitfield permits movement along
+    -o (the scan form's semantics, reference
+    dijkstra_invalidation.hpp:150-191). The previous plane's bitfield is
+    carried in a zero-bordered scratch — border zeros read as "no
+    permission", matching the scan form's False fill."""
+
+    def relax_body(cur, okc, ncc, prev_ref, vgprev_ref):
+        cand = jnp.full_like(cur, INF)
+        for k, ((dy, dz), c) in enumerate(costs9):
+            s = prev_ref[:, 1 + dy:1 + dy + H, 1 + dz:1 + dz + W]
+            if bits9 is not None:
+                pv = vgprev_ref[:, 1 + dy:1 + dy + H, 1 + dz:1 + dz + W]
+                allowed = (pv >> jnp.uint32(bits9[k])) & jnp.uint32(1)
+                s = jnp.where(allowed > 0, s, INF)
+            if node_mode:
+                cand = jnp.minimum(cand, s)
+            else:
+                cand = jnp.minimum(cand, s + c)
+        if node_mode:
+            cand = cand + ncc
+        new = jnp.where(okc, jnp.minimum(cur, cand), INF)
+        if clamp_positive:
+            new = jnp.where(new > 0.0, INF, new)
+        return new
+
+    if bits9 is None:
+        def kernel(d_ref, ok_ref, nc_ref, out_ref, prev_ref):
+            i = pl.program_id(0)
+
+            @pl.when(i == 0)
+            def _init():
+                prev_ref[...] = jnp.full((B, H + 2, W + 2), INF, jnp.float32)
+
+            cur = d_ref[:, 0]
+            okc = ok_ref[:, 0]
+            ncc = nc_ref[:, 0]
+            new = jax.lax.cond(
+                i == 0, lambda: cur,
+                lambda: relax_body(cur, okc, ncc, prev_ref, None))
+            out_ref[:, 0] = new
+            prev_ref[:, 1:H + 1, 1:W + 1] = new
+
+        return kernel
+
+    def kernel_vg(d_ref, ok_ref, nc_ref, vg_ref, out_ref, prev_ref,
+                  vgprev_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _init():
             prev_ref[...] = jnp.full((B, H + 2, W + 2), INF, jnp.float32)
+            vgprev_ref[...] = jnp.zeros((B, H + 2, W + 2), jnp.uint32)
 
         cur = d_ref[:, 0]
         okc = ok_ref[:, 0]
         ncc = nc_ref[:, 0]
-
-        def relax():
-            cand = jnp.full_like(cur, INF)
-            for (dy, dz), c in costs9:
-                s = prev_ref[:, 1 + dy:1 + dy + H, 1 + dz:1 + dz + W]
-                if node_mode:
-                    cand = jnp.minimum(cand, s)
-                else:
-                    cand = jnp.minimum(cand, s + c)
-            if node_mode:
-                cand = cand + ncc
-            new = jnp.where(okc, jnp.minimum(cur, cand), INF)
-            if clamp_positive:
-                new = jnp.where(new > 0.0, INF, new)
-            return new
-
-        new = jax.lax.cond(i == 0, lambda: cur, relax)
+        new = jax.lax.cond(
+            i == 0, lambda: cur,
+            lambda: relax_body(cur, okc, ncc, prev_ref, vgprev_ref))
         out_ref[:, 0] = new
         prev_ref[:, 1:H + 1, 1:W + 1] = new
+        vgprev_ref[:, 1:H + 1, 1:W + 1] = vg_ref[:, 0]
 
-    return kernel
+    return kernel_vg
 
 
 # Scoped-vmem accounting charges the pipelined (B,1,H,W) blocks at their
@@ -212,7 +248,7 @@ def _phys_plane_elems(H: int, W: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("anisotropy", "node_mode", "clamp_positive",
-                     "descending"),
+                     "descending", "bits9"),
 )
 def sweep_axis0_batched(
     d,
@@ -222,10 +258,18 @@ def sweep_axis0_batched(
     node_mode: bool,
     clamp_positive: bool,
     descending: bool = False,
+    vg=None,
+    bits9: Optional[Tuple[int, ...]] = None,
 ):
     """Directional sweep along axis 1 of (B, n, H, W) volumes in ONE
     Pallas launch per lane-chunk. `descending` reverses the grid's plane
-    order through the index maps — no data flips anywhere."""
+    order through the index maps — no data flips anywhere.
+
+    vg/bits9 (optional, both or neither): per-lane cc3d voxel_graph
+    bitfields (uint32, same layout as d) plus the 9 GRAPH_BITS indices for
+    this layout's offsets in (dy, dz) loop order — computed by the caller
+    in the ORIGINAL axis frame (they differ per swept axis and
+    direction)."""
     B, n, H, W = d.shape
     w = np.asarray(anisotropy, dtype=np.float64)
 
@@ -237,7 +281,10 @@ def sweep_axis0_batched(
             )
             costs9.append(((dy, dz), c))
 
-    bmax = max(1, _CHUNK_PLANE_BUDGET // _phys_plane_elems(H, W))
+    has_vg = bits9 is not None
+    # the vg operand adds a double-buffered input block + one scratch
+    budget = _CHUNK_PLANE_BUDGET * 3 // 4 if has_vg else _CHUNK_PLANE_BUDGET
+    bmax = max(1, budget // _phys_plane_elems(H, W))
 
     if descending:
         def imap(i):
@@ -246,30 +293,35 @@ def sweep_axis0_batched(
         def imap(i):
             return (0, i, 0, 0)
 
-    def run(db, okb, ncb):
+    def run(db, okb, ncb, vgb):
         Bc = db.shape[0]
         kernel = _batched_kernel_factory(
-            costs9, node_mode, clamp_positive, Bc, H, W
+            costs9, node_mode, clamp_positive, Bc, H, W,
+            bits9=bits9,
         )
+        spec = pl.BlockSpec((Bc, 1, H, W), imap)
+        in_specs = [spec, spec, spec] + ([spec] if has_vg else [])
+        scratch = [pltpu.VMEM((Bc, H + 2, W + 2), jnp.float32)]
+        if has_vg:
+            scratch.append(pltpu.VMEM((Bc, H + 2, W + 2), jnp.uint32))
+        args = (db, okb, ncb) + ((vgb,) if has_vg else ())
         return pl.pallas_call(
             kernel,
             grid=(n,),
-            in_specs=[
-                pl.BlockSpec((Bc, 1, H, W), imap),
-                pl.BlockSpec((Bc, 1, H, W), imap),
-                pl.BlockSpec((Bc, 1, H, W), imap),
-            ],
-            out_specs=pl.BlockSpec((Bc, 1, H, W), imap),
+            in_specs=in_specs,
+            out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((Bc, n, H, W), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((Bc, H + 2, W + 2), jnp.float32)],
+            scratch_shapes=scratch,
             interpret=INTERPRET,
-        )(db, okb, ncb)
+        )(*args)
 
     if B <= bmax:
-        return run(d, ok, node_cost)
+        return run(d, ok, node_cost, vg)
     outs = []
     for s in range(0, B, bmax):
-        outs.append(run(d[s:s + bmax], ok[s:s + bmax], node_cost[s:s + bmax]))
+        outs.append(run(d[s:s + bmax], ok[s:s + bmax],
+                        node_cost[s:s + bmax],
+                        vg[s:s + bmax] if has_vg else None))
     return jnp.concatenate(outs, axis=0)
 
 

@@ -137,3 +137,66 @@ def test_engine_batch_through_interpret_pallas():
     assert set(res) == {1, 2}
     for sid in (1, 2):
         assert sum(len(p[0]) for p in res[sid]) > 4
+
+
+@pytest.mark.parametrize("node_mode", (False, True))
+def test_batched_relax_voxel_graph_matches_scan(node_mode):
+    """The vg-masked Pallas relax (interpret mode) must equal the scan-form
+    per-lane relax with the same voxel_graph, across every axis/direction
+    (walls block both straight and diagonal edges)."""
+    import jax
+
+    from kimimaro_tpu.ops.geodesic import relax_rounds_batchable
+    from kimimaro_tpu.ops.stencils import GRAPH_BITS
+
+    rng = np.random.RandomState(19)
+    B, shape = 5, (7, 9, 8)
+    ok = rng.rand(B, *shape) < 0.9
+    d = np.full((B,) + shape, np.inf, dtype=np.float32)
+    for b in range(B):
+        s = tuple(rng.randint(0, n) for n in shape)
+        d[(b,) + s] = 0.0
+        ok[(b,) + s] = True
+    nc = rng.uniform(0.1, 2, size=(B,) + shape).astype(np.float32)
+
+    # random walls: drop each directed edge with p=0.3, symmetrically
+    vg = np.full((B,) + shape, 0xFFFFFFFF, dtype=np.uint32)
+    for off, bit in GRAPH_BITS.items():
+        rev = GRAPH_BITS[tuple(-o for o in off)]
+        drop = rng.rand(B, *shape) < 0.3
+        vg &= ~np.where(drop, np.uint32(1 << bit), np.uint32(0))
+        # the reverse bit of the neighbor: clear at shifted positions
+        sl_src = [slice(None)]
+        sl_dst = [slice(None)]
+        for o, n in zip(off, shape):
+            if o >= 0:
+                sl_src.append(slice(o, n))
+                sl_dst.append(slice(0, n - o))
+            else:
+                sl_src.append(slice(0, n + o))
+                sl_dst.append(slice(-o, n))
+        sub = np.zeros((B,) + shape, bool)
+        sub[tuple(sl_src)] = drop[tuple(sl_dst)]
+        vg &= ~np.where(sub, np.uint32(1 << rev), np.uint32(0))
+
+    d0 = jnp.asarray(d)
+    okj = jnp.asarray(ok)
+    ncj = jnp.asarray(nc) if node_mode else None
+    vgj = jnp.asarray(vg)
+
+    f = lambda dd, oo, nn, vv: relax_rounds_batchable(
+        dd, oo, nn if node_mode else None, (1.0, 2.0, 1.5), 3,
+        voxel_graph=vv)
+    # batched (interpret-mode Pallas through the custom_vmap rule)
+    got, gconv = jax.vmap(
+        lambda dd, oo, nn, vv: f(dd, oo, nn, vv)
+    )(d0, okj, ncj if node_mode else jnp.zeros_like(d0), vgj)
+    got = np.asarray(got)
+    for b in range(B):
+        ref, rconv = f(d0[b], okj[b],
+                       ncj[b] if node_mode else None, vgj[b])
+        ref = np.asarray(ref)
+        finite = np.isfinite(ref)
+        assert np.array_equal(finite, np.isfinite(got[b])), b
+        assert np.allclose(ref[finite], got[b][finite], rtol=1e-5,
+                           atol=1e-5), b
