@@ -211,6 +211,8 @@ def synthetic_volume(n: int, mean_label_voxels: int = 63000, seed: int = 0):
 
 
 def main():
+    import threading
+
     import jax
 
     # sitecustomize pins JAX_PLATFORMS to the tunneled TPU; BENCH_PLATFORM
@@ -218,6 +220,29 @@ def main():
     plat = os.environ.get("BENCH_PLATFORM", "")
     if plat:
         jax.config.update("jax_platforms", plat)
+
+    # a dead TPU tunnel makes backend init block in C forever (even for
+    # cpu — the axon PJRT plugin initializes regardless); fail fast with
+    # a diagnosable JSON record instead of hanging the driver
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(float(os.environ.get("BENCH_INIT_TIMEOUT",
+                                                   "300"))):
+            print(json.dumps({
+                "metric": "skeletonize (backend init timeout)",
+                "value": 0.0,
+                "unit": "labels/s",
+                "vs_baseline": 0.0,
+                "error": "jax backend init exceeded timeout — TPU tunnel "
+                         "down? (see memory: tunnel relay cannot be "
+                         "restarted from inside the sandbox)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()
+    init_done.set()
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
@@ -328,6 +353,16 @@ def main():
     # oracle parity measured THROUGH the live backend (VERDICT r2 item 6:
     # the >=99% parity suite runs on CPU in CI; this re-runs the same five
     # oracle volumes through the real engine on the benchmark's backend)
+    # — first drop every 512^3 device buffer and compiled program so the
+    # parity volumes' compiles don't hit RESOURCE_EXHAUSTED on HBM
+    import gc
+
+    labels = None
+    mid = None
+    skels = None
+    jax.clear_caches()
+    gc.collect()
+
     parity_pct = None
     try:
         import sys

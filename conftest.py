@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent compilation cache for CPU test runs: the shared
+# .jax_cache serves XLA:CPU AOT executables whose compile-machine
+# features don't match this host ("+prefer-no-gather ... could lead to
+# execution errors such as SIGILL" — two full-suite runs segfaulted in
+# exactly the compile/cache paths), and measured warm-vs-cold suite
+# times were equal, so the cache bought nothing here anyway. The axon
+# (TPU) flows keep using .jax_cache — remote compiles need it.

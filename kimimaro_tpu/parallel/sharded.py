@@ -157,21 +157,15 @@ def _ring_parabola_pass(d, labels, w: float, black_border: bool, n_total: int,
     return out.reshape(d.shape)
 
 
-def sharded_edtsq(
-    labels,
-    mesh: Mesh,
-    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
-    black_border: bool = False,
-):
-    """Multi-label anisotropic squared EDT with the volume sharded over the
-    mesh's leading axis. Passes along unsharded axes are local
-    (ops.edt._parabola_pass_banded); the sharded-axis pass is the ring min-plus."""
-    labels = jnp.asarray(labels)
-    n0, n1, n2 = labels.shape
+@functools.lru_cache(maxsize=None)
+def _edtsq_impl(mesh: Mesh, n0: int, anis, black_border: bool):
+    """Cached jitted program: defining the shard_map closure per CALL made
+    every invocation re-trace and re-compile (~10 s per call on the
+    8-virtual-device CPU mesh); the cache keys the program on everything
+    the closure captures so repeat calls hit the jit fast path."""
     n_dev = mesh.devices.size
-    assert n0 % n_dev == 0, "leading axis must divide evenly over the mesh"
-    anis = tuple(float(a) for a in anisotropy)
 
+    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -214,7 +208,25 @@ def sharded_edtsq(
         d = jnp.where(lab == 0, 0.0, d)
         return d
 
-    return impl(labels)
+    return impl
+
+
+def sharded_edtsq(
+    labels,
+    mesh: Mesh,
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+    black_border: bool = False,
+):
+    """Multi-label anisotropic squared EDT with the volume sharded over the
+    mesh's leading axis. Passes along unsharded axes are local
+    (ops.edt._parabola_pass_banded); the sharded-axis pass is the ring
+    min-plus."""
+    labels = jnp.asarray(labels)
+    n0 = labels.shape[0]
+    n_dev = mesh.devices.size
+    assert n0 % n_dev == 0, "leading axis must divide evenly over the mesh"
+    anis = tuple(float(a) for a in anisotropy)
+    return _edtsq_impl(mesh, n0, anis, bool(black_border))(labels)
 
 
 # --------------------------------------------------------------------------- #
@@ -253,11 +265,18 @@ def sharded_distance_rounds(
     the caller knows the topology). `max_rounds` bounds the fixpoint loop
     (0 -> a volume-diameter default)."""
     anis = tuple(float(a) for a in anisotropy)
-    n_dev = mesh.devices.size
     node_mode = node_cost is not None
     nc_in = node_cost if node_mode else jnp.zeros_like(init_dist)
     if max_rounds <= 0:
         max_rounds = int(sum(init_dist.shape)) + 8
+    impl = _distance_impl(mesh, anis, node_mode, rounds, int(max_rounds))
+    return impl(init_dist, jnp.asarray(ok_mask, dtype=bool), nc_in)
+
+
+@functools.lru_cache(maxsize=None)
+def _distance_impl(mesh: Mesh, anis, node_mode: bool, rounds, max_rounds: int):
+    """Cached jitted sharded-sweep program (see _edtsq_impl's rationale)."""
+    n_dev = mesh.devices.size
 
     def sweep(d, ok, nc, axis, direction, edge_plane):
         """Directional sweep along `axis`; for the sharded axis the
@@ -301,6 +320,7 @@ def sharded_distance_rounds(
             out = out[::-1]
         return jnp.moveaxis(out, 0, axis)
 
+    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -349,7 +369,7 @@ def sharded_distance_rounds(
         )
         return d
 
-    return impl(init_dist, jnp.asarray(ok_mask, dtype=bool), nc_in)
+    return impl
 
 
 # --------------------------------------------------------------------------- #
@@ -366,12 +386,17 @@ def sharded_ccl_rounds(
     changed-flag over the mesh reports a global fixpoint — component ids
     are then exact for any topology. An integer runs a fixed count."""
     labels = jnp.asarray(labels)
-    n_dev = mesh.devices.size
-    n0 = labels.shape[0]
-    n_loc = n0 // n_dev
     if max_rounds <= 0:
         max_rounds = int(sum(labels.shape)) + 8
+    return _ccl_impl(mesh, rounds, int(max_rounds))(labels)
 
+
+@functools.lru_cache(maxsize=None)
+def _ccl_impl(mesh: Mesh, rounds, max_rounds: int):
+    """Cached jitted sharded-CCL program (see _edtsq_impl's rationale)."""
+    n_dev = mesh.devices.size
+
+    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -382,6 +407,7 @@ def sharded_ccl_rounds(
     def impl(lab):
         my = jax.lax.axis_index(AXIS)
         shape = lab.shape
+        n_loc = shape[0]
         fg = lab != 0
         base = (my * n_loc) * (shape[1] * shape[2])
         lin = (
@@ -447,7 +473,7 @@ def sharded_ccl_rounds(
         )
         return ids
 
-    return impl(labels)
+    return impl
 
 
 # --------------------------------------------------------------------------- #

@@ -181,11 +181,11 @@ def test_joinability(axis):
             fix_branching=True, fix_borders=fix_borders, parallel=1,
         )
 
-    labels = np.zeros((96, 96, 20), dtype=np.uint8)
+    labels = np.zeros((48, 48, 20), dtype=np.uint8)
     if axis == "x":
-        labels[12:60, :, :] = 1
+        labels[6:30, :, :] = 1
     else:
-        labels[:, 12:60, :] = 1
+        labels[:, 6:30, :] = 1
 
     s1 = skeletonize(labels[:, :, :10], True)[1]
     s2 = skeletonize(labels[:, :, 9:], True)[1]

@@ -22,6 +22,16 @@ N_DEV = min(8, len(jax.devices()))
 
 @pytest.fixture(scope="module")
 def mesh():
+    # kernel-level equivalence runs on a 4-device mesh: same shard_map /
+    # ppermute code paths, half the virtual-device serialization on the
+    # 1-CPU test box. The full 8-device mesh stays covered by
+    # test_preamble_step_runs, the sharded e2e suite, and the driver's
+    # dryrun_multichip.
+    return make_mesh(min(4, N_DEV))
+
+
+@pytest.fixture(scope="module")
+def mesh8():
     return make_mesh(N_DEV)
 
 
@@ -86,7 +96,8 @@ def test_sharded_ccl_components(mesh):
     assert np.all(ids[labels == 0] == 0)
 
 
-def test_preamble_step_runs(mesh):
+def test_preamble_step_runs(mesh8):
+    mesh = mesh8
     labels = random_labels((16, 8, 8), seed=1)
     out = preamble_step(shard_volume(labels, mesh), mesh, (1.0, 1.0, 1.0))
     assert out["dbf"].shape == labels.shape

@@ -17,6 +17,15 @@ def mesh():
     return make_mesh(N_DEV)
 
 
+@pytest.fixture(scope="module")
+def mesh_small():
+    # variants run on a 4-device mesh: same sharding logic, half the
+    # virtual-device serialization on the 1-CPU test box (the full
+    # 8-device path is pinned by test_sharded_equals_single_chip and the
+    # driver's dryrun_multichip)
+    return make_mesh(min(4, N_DEV))
+
+
 def _vertex_set(skel):
     return set(map(tuple, np.round(skel.vertices, 3).tolist()))
 
@@ -42,10 +51,11 @@ def test_sharded_equals_single_chip(mesh):
         assert abs(single[k].cable_length() - sharded[k].cable_length()) < 1e-3
 
 
-def test_sharded_padded_axis(mesh):
+def test_sharded_padded_axis(mesh_small):
+    mesh = mesh_small
     # leading axis not divisible by the mesh: zero-padding path
-    labels = np.zeros((18, 12, 8), dtype=np.uint32)
-    labels[1:17, 4:8, 2:6] = 3
+    labels = np.zeros((10, 12, 8), dtype=np.uint32)
+    labels[1:9, 4:8, 2:6] = 3
     single = kimimaro_tpu.skeletonize(
         labels, anisotropy=(1, 1, 1), dust_threshold=10
     )
@@ -56,11 +66,10 @@ def test_sharded_padded_axis(mesh):
     assert _vertex_set(single[3]) == _vertex_set(sharded[3])
 
 
-def test_sharded_single_label_black_border(mesh):
+def test_sharded_single_label_black_border(mesh_small):
+    mesh = mesh_small
     # single-label volume exercises the black_border + pad equivalence
-    # (same volume shape as two_label_volume so the sharded pipeline
-    # compiles once per process)
-    labels = np.ones((16, 24, 8), dtype=np.uint32)
+    labels = np.ones((8, 12, 8), dtype=np.uint32)
     single = kimimaro_tpu.skeletonize(
         labels, anisotropy=(1, 1, 1), dust_threshold=10
     )
@@ -70,8 +79,9 @@ def test_sharded_single_label_black_border(mesh):
     assert _vertex_set(single[1]) == _vertex_set(sharded[1])
 
 
-def test_sharded_fix_borders(mesh):
-    labels = np.zeros((16, 24, 8), dtype=np.uint32)
+def test_sharded_fix_borders(mesh_small):
+    mesh = mesh_small
+    labels = np.zeros((8, 12, 8), dtype=np.uint32)
     labels[:, 3:5, 3:5] = 2  # tube hitting both sharded-axis faces
     single = kimimaro_tpu.skeletonize(
         labels, anisotropy=(1, 1, 1), dust_threshold=10, fix_borders=True
@@ -83,7 +93,8 @@ def test_sharded_fix_borders(mesh):
     assert _vertex_set(single[2]) == _vertex_set(sharded[2])
 
 
-def test_sharded_never_gathers_full_volume(mesh, monkeypatch):
+def test_sharded_never_gathers_full_volume(mesh_small, monkeypatch):
+    mesh = mesh_small
     """VERDICT r2 item 3: the trace stage must fetch per-label bbox crops
     only — a volume needing the whole mesh's HBM would OOM one host at a
     full-volume gather. Intercept every device->host conversion and bound
