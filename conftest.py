@@ -15,10 +15,42 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# NO persistent compilation cache for CPU test runs: the shared
-# .jax_cache serves XLA:CPU AOT executables whose compile-machine
-# features don't match this host ("+prefer-no-gather ... could lead to
-# execution errors such as SIGILL" — two full-suite runs segfaulted in
-# exactly the compile/cache paths), and measured warm-vs-cold suite
-# times were equal, so the cache bought nothing here anyway. The axon
-# (TPU) flows keep using .jax_cache — remote compiles need it.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# (The XLA:CPU AOT loader sometimes warns that cached executables carry
+# compile-machine features the host lacks; the full-suite segfaults once
+# blamed on it were in fact vm.max_map_count exhaustion — see below —
+# and cached entries execute correctly.)
+
+
+def _raise_map_limit() -> bool:
+    """Full-suite runs accumulate memory maps (each compiled XLA:CPU
+    executable mmaps several regions); measured growth hits the default
+    vm.max_map_count=65530 roughly 150 tests in, at which point LLVM's
+    JIT segfaults inside compile (observed three times, always in
+    backend_compile_and_load / cache-load paths). Raise the limit when
+    permitted; the caller falls back to dropping compiled programs
+    between modules otherwise."""
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        if int(open(path).read()) < 262144:
+            with open(path, "w") as f:
+                f.write("1048576")
+        return int(open(path).read()) >= 262144
+    except OSError:
+        return False
+
+
+_MAPS_OK = _raise_map_limit()
+
+if not _MAPS_OK:
+    import gc
+
+    import pytest
+
+    @pytest.fixture(autouse=True, scope="module")
+    def _drop_compiled_programs_between_modules():
+        yield
+        jax.clear_caches()
+        gc.collect()

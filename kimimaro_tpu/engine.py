@@ -926,19 +926,24 @@ def paths_to_skeletons_batched(results, offsets_by_segid, anisotropy):
     S = np.concatenate(sparts)          # (T,) label index
     P = np.concatenate(pparts)          # (T,) path id
 
-    # from_path: fuse consecutive duplicates within a path
+    # from_path: fuse consecutive duplicates within a path (keep the raw
+    # arrays too — reference radii are last-write-wins over the RAW
+    # stream, including occurrences the fusion drops)
+    V_raw, R_raw, S_raw = V, R, S
     keep = np.ones(len(V), dtype=bool)
     keep[1:] = (P[1:] != P[:-1]) | np.any(V[1:] != V[:-1], axis=1)
     V, R, S, P = V[keep], R[keep], S[keep], P[keep]
     T = len(V)
 
-    # vertex dedup per (label, voxel): pack into one uint64 key.
-    # coords < 2^16 per axis (volumes here are <= 2^16 on a side) and
-    # label index < 2^16 by construction of seg_list chunking upstream.
-    key = ((S.astype(np.uint64) << 48)
-           | (V[:, 0].astype(np.uint64) << 32)
-           | (V[:, 1].astype(np.uint64) << 16)
-           | V[:, 2].astype(np.uint64))
+    def pack(Sa, Va):
+        # vertex dedup key per (label, voxel): coords < 2^16 per axis and
+        # label index < 2^16 by construction of seg_list chunking upstream
+        return ((Sa.astype(np.uint64) << 48)
+                | (Va[:, 0].astype(np.uint64) << 32)
+                | (Va[:, 1].astype(np.uint64) << 16)
+                | Va[:, 2].astype(np.uint64))
+
+    key = pack(S, V)
     order = np.argsort(key, kind="stable")
     ks = key[order]
     is_new = np.ones(T, dtype=bool)
@@ -948,14 +953,19 @@ def paths_to_skeletons_batched(results, offsets_by_segid, anisotropy):
     gid = np.empty(T, dtype=np.int64)
     gid[order] = gid_sorted
 
-    # group -> representative (first occurrence) and last-write radii
+    # group -> representative (first occurrence in fused order)
     rep = np.full(n_groups, np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(rep, gid, np.arange(T, dtype=np.int64))
-    last = np.zeros(n_groups, dtype=np.int64)
-    np.maximum.at(last, gid, np.arange(T, dtype=np.int64))
+
+    # last-write radii over the RAW stream (every raw key exists in the
+    # fused set, so the searchsorted is an exact match)
+    uniq_keys = ks[is_new]
+    raw_gid = np.searchsorted(uniq_keys, pack(S_raw, V_raw))
+    last_raw = np.zeros(n_groups, dtype=np.int64)
+    np.maximum.at(last_raw, raw_gid, np.arange(len(V_raw), dtype=np.int64))
 
     g_verts = V[rep]
-    g_radii = R[last]
+    g_radii = R_raw[last_raw]
     g_seg = S[rep]
 
     # edges: consecutive path vertices, undirected, deduped

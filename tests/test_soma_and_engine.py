@@ -166,3 +166,52 @@ def test_soma_thicker_than_band_escalates(monkeypatch):
     va = np.array(sorted(map(tuple, expected[1].vertices.tolist())))
     vb = np.array(sorted(map(tuple, got[1].vertices.tolist())))
     np.testing.assert_allclose(va, vb, atol=1e-4)
+
+
+def test_batched_finalize_matches_per_label():
+    """paths_to_skeletons_batched must reproduce the per-label
+    paths_to_skeleton semantics exactly: consecutive-dup fusion, vertex
+    dedup, undirected edge dedup, disconnected-vertex removal,
+    last-write-wins radii (reference trace.py:182-193)."""
+    import numpy as np
+
+    from kimimaro_tpu import engine
+
+    rng = np.random.RandomState(5)
+    results = {}
+    offsets = {}
+    for segid in (3, 11, 42, 1000):
+        paths = []
+        for _ in range(rng.randint(1, 5)):
+            n = rng.randint(1, 12)
+            # random walk with occasional repeats (consecutive dups) and
+            # revisits (shared vertices across paths)
+            steps = rng.randint(-1, 2, size=(n, 3))
+            steps[rng.rand(n) < 0.3] = 0
+            verts = np.cumsum(steps, axis=0) + rng.randint(0, 4, size=3)
+            rads = rng.uniform(0.5, 5.0, size=n).astype(np.float32)
+            paths.append((verts.astype(np.int64), rads))
+        results[segid] = paths
+        offsets[segid] = rng.randint(0, 50, size=3).astype(np.int64)
+
+    aniso = (16.0, 16.0, 40.0)
+    got = engine.paths_to_skeletons_batched(results, offsets, aniso)
+    assert got is not None
+
+    for segid, paths in results.items():
+        ref = engine.paths_to_skeleton(paths, aniso)
+        if ref.empty():
+            assert segid not in got
+            continue
+        ref.vertices += offsets[segid].astype(np.float32)
+        g = got[segid]
+        assert len(g.vertices) == len(ref.vertices), segid
+        np.testing.assert_allclose(
+            np.sort(g.vertices.view("f4").reshape(-1, 3), axis=0),
+            np.sort(ref.vertices, axis=0), err_msg=str(segid))
+        # same vertex order (consolidate's sorted order) -> same arrays
+        np.testing.assert_array_equal(g.vertices, ref.vertices)
+        np.testing.assert_array_equal(g.radii, ref.radii)
+        ge = {tuple(sorted(e)) for e in g.edges.tolist()}
+        re_ = {tuple(sorted(e)) for e in ref.edges.tolist()}
+        assert ge == re_, segid
