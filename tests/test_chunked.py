@@ -23,14 +23,14 @@ def test_chunk_bounds_overlap():
 
 def test_chunked_matches_single_component():
     # a tube crossing chunk boundaries must come out as ONE component
-    labels = np.zeros((40, 40, 12), dtype=np.uint8)
-    labels[8:32, 18:22, :] = 1
+    labels = np.zeros((40, 24, 12), dtype=np.uint8)
+    labels[8:32, 10:14, :] = 1
 
     params = {"const": 10, "scale": 10, "pdrf_exponent": 4, "pdrf_scale": 100000}
-    # x and y seams (the z seam is covered by the intake joinability
-    # tests); 4 chunks keep the suite fast
+    # one x seam (VERDICT r2 item 5: a single seam pins the same join
+    # behavior; y/z seams are covered by the intake joinability tests)
     skels = skeletonize_chunked(
-        labels, chunk_size=(20, 20, 12),
+        labels, chunk_size=(20, 24, 12),
         teasar_params=params, anisotropy=(1, 1, 1), dust_threshold=0,
         fix_borders=True,
     )
