@@ -91,7 +91,10 @@ def bbox_ids(labels: np.ndarray, ids) -> Optional[dict]:
     if labels.ndim != 3 or labels.dtype.kind not in "ui":
         return None
     labels = np.ascontiguousarray(labels)
-    ids_arr = np.asarray(sorted({int(i) for i in ids}), dtype=np.uint64)
+    id_set = {int(i) for i in ids}
+    if any(i < 0 for i in id_set):
+        return None
+    ids_arr = np.asarray(sorted(id_set), dtype=np.uint64)
     k = len(ids_arr)
     if k == 0:
         return {}

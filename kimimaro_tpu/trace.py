@@ -348,6 +348,8 @@ def _chase_jit(d_field, start, L: int, vg, has_vg: bool):
     from .ops.fused_trace import _chase
 
     d_pad = jnp.pad(d_field, 1, constant_values=INF)
+    # vg is a (1,1,1) dummy when has_vg is False (avoids materializing a
+    # full-volume zeros operand per path)
     vg_pad = jnp.pad(vg.astype(jnp.uint32), 1) if has_vg else None
     return _chase(d_pad, start, L, vg_pad)
 
@@ -362,7 +364,7 @@ def _chase_device_path(d_rail, target, voxel_graph):
     L = max(int(2 * (shape[0] + shape[1] + shape[2])), 64)
     has_vg = voxel_graph is not None
     vg = (jnp.asarray(voxel_graph) if has_vg
-          else jnp.zeros(shape, jnp.uint32))
+          else jnp.zeros((1, 1, 1), jnp.uint32))
     path, plen, reached = _chase_jit(
         d_rail, jnp.asarray(target, dtype=jnp.int32), L, vg, has_vg)
     if not bool(reached):
