@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .geodesic import OFFSETS26
 from .stencils import offset_costs
 
 INF = np.float32(np.inf)
