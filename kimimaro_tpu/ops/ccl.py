@@ -122,6 +122,47 @@ def _ccl_stage(ids0, labels, voxel_graph, has_vg: bool = False,
     return ids, ~changed
 
 
+@functools.partial(jax.jit, static_argnames=("phase", "rounds"))
+def _ccl_stage_gsweep(ids0, labels_i32, phase: int = 1, rounds: int = 5):
+    """_ccl_stage on the gsweep full-plane engine: a 512^3 sweep is ONE
+    Pallas launch instead of 512 sequential scan steps (the scan form's
+    ~21k tiny dispatches made CCL a 4-10 s phase on the dense benchmark).
+    Same min-id semantics; labels (bitcast int32) are the propagation
+    mask. No voxel_graph support — graph callers keep the scan stage."""
+    from . import gsweep
+
+    cc_v = gsweep.MaskViews(labels_i32)
+    anis = (1.0, 1.0, 1.0)
+
+    def jump(ids):
+        flat = jnp.where(ids == _BIGID, 0, ids).ravel()
+        hop = flat[jnp.maximum(flat - 1, 0)]
+        hop = jnp.where(flat > 0, hop, _BIGID).reshape(ids.shape)
+        return jnp.minimum(ids, hop)
+
+    if phase == 1:
+        def step(ids):
+            return gsweep.one_round(ids, cc_v, None, None, anis, "minid",
+                                    False)
+    else:
+        def step(ids):
+            ids = gsweep.one_round(ids, cc_v, None, None, anis, "minid",
+                                   False)
+            ids = gsweep.one_round(ids, cc_v, None, None, anis, "minid",
+                                   False)
+            return jump(ids)
+
+    def body(carry, _):
+        ids, _ = carry
+        nids = step(ids)
+        return (nids, jnp.any(nids != ids)), None
+
+    (ids, changed), _ = jax.lax.scan(
+        body, (ids0, jnp.bool_(True)), None, length=int(rounds) + 1
+    )
+    return ids, ~changed
+
+
 def connected_components(labels, voxel_graph=None) -> jnp.ndarray:
     """Raw 26-connected multi-label CCL. Returns an int32 volume where each
     component is labeled by the (1-based) minimum linear index of its voxels;
@@ -142,9 +183,22 @@ def connected_components(labels, voxel_graph=None) -> jnp.ndarray:
     lin = jnp.arange(1, n + 1, dtype=jnp.int32).reshape(labels.shape)
     ids = jnp.where(fg, lin, _BIGID)
 
+    # ≤32-bit labels bitcast losslessly to the int32 mask the Pallas minid
+    # kernels take; voxel_graph and 64-bit labels keep the scan stage
+    use_gsweep = (not has_vg) and labels.dtype.itemsize <= 4
+    if use_gsweep:
+        if labels.dtype == jnp.uint32:
+            labels_i32 = jax.lax.bitcast_convert_type(labels, jnp.int32)
+        else:
+            labels_i32 = labels.astype(jnp.int32)
+
     # phase 1: pure sweep rounds — no gathers at all. Most volumes
     # converge here (rounds = number of direction reversals of components).
-    ids, conv = _ccl_stage(ids, labels, vg, has_vg=has_vg, phase=1, rounds=5)
+    if use_gsweep:
+        ids, conv = _ccl_stage_gsweep(ids, labels_i32, phase=1, rounds=5)
+    else:
+        ids, conv = _ccl_stage(ids, labels, vg, has_vg=has_vg, phase=1,
+                               rounds=5)
     # phase 2 (escalating): long winding components still unconverged —
     # accelerate with pointer jumping (a full-volume random gather, the
     # slowest primitive on TPU, so it only runs when sweeps alone stall).
@@ -152,8 +206,12 @@ def connected_components(labels, voxel_graph=None) -> jnp.ndarray:
     # (each new 512^3 program variant costs minutes of XLA compile; extra
     # launches of a cached one cost milliseconds)
     while not bool(conv):
-        ids, conv = _ccl_stage(ids, labels, vg, has_vg=has_vg, phase=2,
-                               rounds=4)
+        if use_gsweep:
+            ids, conv = _ccl_stage_gsweep(ids, labels_i32, phase=2,
+                                          rounds=4)
+        else:
+            ids, conv = _ccl_stage(ids, labels, vg, has_vg=has_vg, phase=2,
+                                   rounds=4)
     return jnp.where(fg, ids, 0)
 
 

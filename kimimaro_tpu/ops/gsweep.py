@@ -45,6 +45,7 @@ import numpy as np
 
 INF = np.float32(np.inf)
 NEG_INF = np.float32(-np.inf)
+BIGID = np.int32(2**31 - 1)  # minid mode fill (matches ops.ccl._BIGID)
 
 
 _FORCE: Optional[str] = None  # "pallas" | "scan" | None (auto): test hook
@@ -87,7 +88,12 @@ def _kernel_factory(costs9, mode: str, clamp_positive: bool, has_ok: bool,
     are static slices. At grid step 0 the scratch border values make the
     relax a pass-through of plane 0 (the scan init carry in the crop
     engine's sweeps — non-occupied voxels are +inf there by invariant)."""
-    fill = NEG_INF if mode == "maxflood" else INF
+    if mode == "maxflood":
+        fill = NEG_INF
+    elif mode == "minid":
+        fill = BIGID
+    else:
+        fill = INF
 
     def kernel(*refs):
         if mode == "node":
@@ -108,12 +114,15 @@ def _kernel_factory(costs9, mode: str, clamp_positive: bool, has_ok: bool,
 
         @pl.when(i == 0)
         def _init():
-            prev_ref[...] = jnp.full((H + 2, W + 2), fill, jnp.float32)
+            vdt = jnp.int32 if mode == "minid" else jnp.float32
+            prev_ref[...] = jnp.full((H + 2, W + 2), fill, vdt)
             pcc_ref[...] = jnp.full((H + 2, W + 2), -1, jnp.int32)
 
         cur = d_ref[0]
         ccc = cc_ref[0]
-        occupied = ccc > 0
+        # minid masks by RAW labels which may bitcast negative; != 0 is
+        # the occupancy test there (cc ids are strictly positive elsewhere)
+        occupied = (ccc != 0) if mode == "minid" else (ccc > 0)
         if has_ok:
             occupied = occupied & (ok_ref[0] != 0)
 
@@ -134,7 +143,7 @@ def _kernel_factory(costs9, mode: str, clamp_positive: bool, has_ok: bool,
             new = jnp.where(occupied, jnp.maximum(cur, cand), fill)
         else:
             new = jnp.where(occupied, jnp.minimum(cur, cand), fill)
-            if clamp_positive:
+            if clamp_positive and mode != "minid":
                 new = jnp.where(new > 0.0, INF, new)
         out_ref[0] = new
         prev_ref[1:H + 1, 1:W + 1] = new
@@ -173,14 +182,15 @@ def _sweep0_pallas(d, cc, nodecost, okmask, anis_perm,
         ins.append(okmask)
         in_specs.append(spec)
 
+    vdt = jnp.int32 if mode == "minid" else jnp.float32
     return pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=in_specs,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((n, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, H, W), vdt),
         scratch_shapes=[
-            pltpu.VMEM((H + 2, W + 2), jnp.float32),
+            pltpu.VMEM((H + 2, W + 2), vdt),
             pltpu.VMEM((H + 2, W + 2), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -202,7 +212,12 @@ def _shift2(p, dy, dz, fill):
 
 def _sweep0_scan(d, cc, nodecost, okmask, anis_perm,
                  mode: str, clamp_positive: bool, descending: bool):
-    fill = NEG_INF if mode == "maxflood" else INF
+    if mode == "maxflood":
+        fill = NEG_INF
+    elif mode == "minid":
+        fill = BIGID
+    else:
+        fill = INF
     costs9 = _costs9(anis_perm)
 
     if descending:
@@ -211,7 +226,7 @@ def _sweep0_scan(d, cc, nodecost, okmask, anis_perm,
         nodecost = nodecost[::-1] if nodecost is not None else None
         okmask = okmask[::-1] if okmask is not None else None
 
-    occ = cc > 0
+    occ = (cc != 0) if mode == "minid" else (cc > 0)
     if okmask is not None:
         occ = occ & (okmask != 0)
     cc_eff = jnp.where(occ, cc, -1)
@@ -239,7 +254,7 @@ def _sweep0_scan(d, cc, nodecost, okmask, anis_perm,
             new = jnp.where(occc, jnp.maximum(cur, cand), fill)
         else:
             new = jnp.where(occc, jnp.minimum(cur, cand), fill)
-            if clamp_positive:
+            if clamp_positive and mode != "minid":
                 new = jnp.where(new > 0.0, INF, new)
         return (new, jnp.where(occc, ccc, -1)), new
 
@@ -249,7 +264,7 @@ def _sweep0_scan(d, cc, nodecost, okmask, anis_perm,
         first = jnp.where(occ[0], d[0], fill)
     else:
         first = jnp.where(occ[0], d[0], fill)
-        if clamp_positive:
+        if clamp_positive and mode != "minid":
             first = jnp.where(first > 0.0, INF, first)
     xs = (d[1:], cc[1:], occ[1:])
     if mode == "node":

@@ -179,3 +179,49 @@ def test_unconverged_flag_on_too_few_rounds():
     out, convf = gsweep.relax_full(
         jnp.asarray(d0), cc_v, None, None, ANIS, rounds=0, mode="euclid")
     assert not bool(convf)
+
+
+def test_minid_ccl_pallas_matches_scan_and_scipy():
+    """The gsweep minid mode (CCL on the full-plane Pallas engine,
+    interpret mode here) must produce the same components as the scan
+    stage and scipy's 26-connected labeling — including labels with the
+    uint32 high bit set (bitcast mask path)."""
+    import scipy.ndimage as ndi
+
+    from kimimaro_tpu.ops import ccl, pallas_sweep
+
+    rng = np.random.RandomState(11)
+    vol = np.zeros((22, 17, 13), dtype=np.uint32)
+    vol[2:9, 2:9, 2:7] = 7
+    vol[2:9, 2:9, 8:12] = 7          # same label, separate component
+    vol[12:20, 3:12, 3:12] = 0x80000001  # high bit set
+    vol[vol != 0] &= np.where(rng.rand(*vol.shape) < 0.1, 0, 0xFFFFFFFF
+                              ).astype(np.uint32)[vol != 0]
+
+    def n_components(cc):
+        cc = np.asarray(cc)
+        return len(np.unique(cc[cc != 0]))
+
+    # scipy oracle per label (26-connectivity)
+    expected = 0
+    for lab in np.unique(vol[vol != 0]):
+        _, k = ndi.label(vol == lab, structure=np.ones((3, 3, 3)))
+        expected += k
+
+    # scan path (CPU default)
+    cc_scan = ccl.connected_components(jnp.asarray(vol))
+    assert n_components(cc_scan) == expected
+
+    # Pallas interpret path
+    prev_force = gsweep._FORCE
+    prev_interp = pallas_sweep.INTERPRET
+    gsweep._FORCE = "pallas"
+    pallas_sweep.INTERPRET = True
+    ccl._ccl_stage_gsweep._clear_cache()
+    try:
+        cc_pal = ccl.connected_components(jnp.asarray(vol))
+    finally:
+        gsweep._FORCE = prev_force
+        pallas_sweep.INTERPRET = prev_interp
+        ccl._ccl_stage_gsweep._clear_cache()
+    np.testing.assert_array_equal(np.asarray(cc_scan), np.asarray(cc_pal))
