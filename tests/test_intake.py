@@ -216,21 +216,21 @@ def test_fill_all_holes():
 
 
 def test_fix_avocados():
-    # reference automated_test.py:478-509 at half scale
+    # reference automated_test.py:478-509 at quarter scale
     import jax
     from kimimaro_tpu.ops import edt as edt_ops
 
-    labels = np.zeros((64, 64, 64), dtype=np.uint32)
+    labels = np.zeros((32, 32, 32), dtype=np.uint32)
     # fake clipped avocado
-    labels[:25, :20, :15] = 1
-    labels[:12, :10, :12] = 2
+    labels[:13, :10, :8] = 1
+    labels[:6, :5, :6] = 2
     # double avocado
-    labels[25:50, 20:50, 15:40] = 3
-    labels[30:45, 25:45, 20:35] = 4
-    labels[30:35, 26:44, 21:34] = 5
+    labels[13:25, 10:25, 8:20] = 3
+    labels[15:23, 13:23, 10:18] = 4
+    labels[15:18, 13:22, 11:17] = 5
     # not an avocado
-    labels[56:, 56:, 56:] = 6  # not a pit
-    labels[50:56, 56:, 56:] = 7  # not a fruit
+    labels[28:, 28:, 28:] = 6  # not a pit
+    labels[25:28, 28:, 28:] = 7  # not a fruit
 
     def fn(lbls):
         return np.asarray(jax.device_get(edt_ops.edt(lbls, (1, 1, 1))))
@@ -243,10 +243,10 @@ def test_fix_avocados():
 
     uniq = set(int(u) for u in np.unique(out_labels))
     assert uniq == {0, 1, 2, 3, 4}  # 2 and 5 absorbed, renumbered
-    assert np.all(out_labels[:25, :20, :15] == 1)
-    assert np.all(out_labels[25:50, 20:50, 15:40] == 2)
-    assert np.all(out_labels[50:56, 56:, 56:] == 3)
-    assert np.all(out_labels[56:, 56:, 56:] == 4)
+    assert np.all(out_labels[:13, :10, :8] == 1)
+    assert np.all(out_labels[13:25, 10:25, 8:20] == 2)
+    assert np.all(out_labels[25:28, 28:, 28:] == 3)
+    assert np.all(out_labels[28:, 28:, 28:] == 4)
 
 
 def test_synapses_to_targets():
