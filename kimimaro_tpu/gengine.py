@@ -132,6 +132,22 @@ def _unflatten_crop(idx, offs, crop):
     return offs + jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
 
 
+def _grouped_argmax(packed, cc16, offs, lids, groups):
+    """Per-label argmax with per-GROUP gather crops: labels are pre-sorted
+    so each static (start, stop, crop) group slices its own rows. One
+    oversized p95 crop made every label pay the biggest label's gather
+    cost (8-16x waste on long-bbox neurite workloads); two tiers bound it.
+    Returns (coords (N, 3) global, values (N,))."""
+    coords, vals = [], []
+    for (a, b, crop) in groups:
+        idx, val = _crop_argmax(packed, cc16, offs[a:b], lids[a:b], crop)
+        coords.append(_unflatten_crop(idx, offs[a:b], crop))
+        vals.append(val)
+    if len(coords) == 1:
+        return coords[0], vals[0]
+    return jnp.concatenate(coords, axis=0), jnp.concatenate(vals, axis=0)
+
+
 def _shift3(a, off, fill):
     """out[v] = a[v + off] with `fill` beyond the volume (static off)."""
     pads = []
@@ -258,13 +274,13 @@ def _chase_global(d_pad, cc_pad, starts, lids, L: int, vol_shape):
 # embed into the HLO and trip the remote compiler's request limits)
 
 
-@functools.partial(jax.jit, static_argnames=("crop",))
-def _nc_reduce(mask, cc16, offs, lids, crop):
+@functools.partial(jax.jit, static_argnames=("groups",))
+def _nc_reduce(mask, cc16, offs, lids, groups):
     """Per-label any() of a voxel change mask: cc partitions the
     foreground, so the label owning a changed voxel is the only label that
     change can affect. Called only on the (rare) unconverged dispatches."""
     packed = jnp.where(mask, 1.0, -INF).astype(jnp.float32)
-    _, val = _crop_argmax(packed, cc16, offs, lids, crop)
+    _, val = _grouped_argmax(packed, cc16, offs, lids, groups)
     return val > 0.0
 
 
@@ -290,15 +306,15 @@ def _relax_cont(d, cc_x, cc_y, cc_z, nodecost, anisotropy, rounds, mode):
     return d, mask, jnp.sum(mask, dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("crop", "anisotropy", "rounds"))
+@functools.partial(jax.jit, static_argnames=("groups", "anisotropy",
+                                              "rounds"))
 def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
-                    roots_in, has_root, crop, anisotropy, rounds):
+                    roots_in, has_root, groups, anisotropy, rounds):
     """auto roots from the probe field, then the DAF relaxation
     (reference trace.py:121-148)."""
     cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
     packed = jnp.where(jnp.isfinite(probe), probe, -INF)
-    idx, _ = _crop_argmax(packed, cc16, offs, lids, crop)
-    auto_root = _unflatten_crop(idx, offs, crop)
+    auto_root, _ = _grouped_argmax(packed, cc16, offs, lids, groups)
     roots = jnp.where(has_root[:, None], roots_in, auto_root)
 
     d0 = jnp.full(probe.shape, INF, dtype=jnp.float32)
@@ -309,9 +325,9 @@ def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "crop", "anisotropy", "rounds", "pdrf_exponent"))
+    "groups", "anisotropy", "rounds", "pdrf_exponent"))
 def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
-                     roots, crop, anisotropy, rounds, pdrf_exponent,
+                     roots, groups, anisotropy, rounds, pdrf_exponent,
                      pdrf_scale):
     """PDRF from the DBF + DAF (reference trace.py:315-356, exact crop
     engine formula engine._one_label) and the initial rail field."""
@@ -321,7 +337,7 @@ def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
 
     # per-label max DAF (normalization term) via crop argmax
     packed = jnp.where(fg, daf, -INF)
-    _, max_daf = _crop_argmax(packed, cc16, offs, lids, crop)
+    _, max_daf = _grouped_argmax(packed, cc16, offs, lids, groups)
     inv_maxdaf = jnp.where(max_daf > 0, 1.0 / jnp.maximum(max_daf, 1e-30),
                            0.0)
     # broadcast per-label scalars to voxels through the compact cc id
@@ -351,7 +367,7 @@ def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("crop", "anisotropy", "r_ball", "r_warm",
+    static_argnames=("groups", "anisotropy", "r_ball", "r_warm",
                      "fix_branching", "L"),
     donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
 )
@@ -361,7 +377,7 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
                offs, lids, roots,
                before_stack, after_stack, max_paths_arr,
                scale, const,
-               crop, anisotropy, r_ball, r_warm, fix_branching, L):
+               groups, anisotropy, r_ball, r_warm, fix_branching, L):
     """One lock-step path iteration for every still-active label:
     target -> chase -> rolling-ball invalidation -> rail rezero + warm
     re-relax (reference trace.py:225-263; exact semantics from
@@ -372,8 +388,7 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
 
     # --- target selection
     packed = jnp.where(valid != 0, daf, -INF)
-    am_idx, am_val = _crop_argmax(packed, cc16, offs, lids, crop)
-    auto_t = _unflatten_crop(am_idx, offs, crop)
+    auto_t, am_val = _grouped_argmax(packed, cc16, offs, lids, groups)
     has_valid = am_val > -INF
 
     use_before = nb > 0
@@ -516,6 +531,28 @@ def trace_global(
         # the global fixed cost only pays for itself across many labels
         return {}, leftover + eligible
 
+    # two-tier gather crops: a p50 crop for the small majority, the p95
+    # crop for the rest — one shared big crop made every per-label argmax
+    # pay the longest bbox's gather cost (8-16x waste on neurite-like
+    # bbox distributions). Labels sort small-group-first so each group is
+    # one contiguous row range (static slices inside the jitted phases).
+    dims = np.array([j["shape"] for j in eligible], dtype=np.int64)
+    p50 = np.percentile(dims, 50, axis=0)
+    crop_small = tuple(
+        int(min(_pow2_at_least(int(np.ceil(p50[a]))), crop[a]))
+        for a in range(3)
+    )
+    small = [j for j in eligible
+             if all(int(d) <= c for d, c in zip(j["shape"], crop_small))]
+    big = [j for j in eligible
+           if not all(int(d) <= c for d, c in zip(j["shape"], crop_small))]
+    if crop_small == crop or len(small) < 32 or len(big) < 32:
+        groups = ((0, len(eligible), crop),)
+    else:
+        eligible = small + big
+        groups = ((0, len(small), crop_small),
+                  (len(small), len(eligible), crop))
+
     N = len(eligible)
     L = max(2 * sum(crop), 64)
     r_main = RELAX_ROUNDS
@@ -534,11 +571,14 @@ def trace_global(
     max_paths_arr = np.full(N, K_ITER + 1, dtype=np.int32)
     job_off = np.zeros((N, 3), dtype=np.int64)
 
+    crop_of = np.empty((N, 3), dtype=np.int64)
+    for (a, b, c) in groups:
+        crop_of[a:b] = np.asarray(c)
     for i, job in enumerate(eligible):
         lids[i] = job["segid"]
         mn = np.asarray(job["offset"], dtype=np.int64)
         job_off[i] = mn
-        off = np.minimum(mn, np.asarray(vol_shape) - np.asarray(crop))
+        off = np.minimum(mn, np.asarray(vol_shape) - crop_of[i])
         offs[i] = np.maximum(off, 0)
         for t_i, t in enumerate(job["before"]):
             before_stack[i, t_i] = np.asarray(t, dtype=np.int64) + mn
@@ -613,7 +653,7 @@ def trace_global(
                       f"n_chg={int(n_chg)}", flush=True)
         if int(n_chg) > 0:
             bits = np.asarray(jax.device_get(
-                _nc_reduce(mask, cc16, offs_d, lids_d, crop)))
+                _nc_reduce(mask, cc16, offs_d, lids_d, groups)))
             setup_taint[:] |= bits
             if debug:
                 print(f"[gengine] setup {phase}: tainted {int(bits.sum())}",
@@ -627,13 +667,13 @@ def trace_global(
 
     roots, daf, mask, n_chg = _root_daf_phase(
         probe, cc_x, cc_y, cc_z, cc16, offs_d, lids_d,
-        jnp.asarray(roots_in), jnp.asarray(has_root), crop, anis, r_main)
+        jnp.asarray(roots_in), jnp.asarray(has_root), groups, anis, r_main)
     daf = _continue_until(daf, mask, n_chg, phase="daf")
     del probe
 
     daf, pdrf, d_rail, mask, n_chg = _pdrf_rail_phase(
         daf, dbf, jnp.asarray(m_table), cc_x, cc_y, cc_z, cc16,
-        offs_d, lids_d, roots, crop, anis, r_main, pdrf_exponent,
+        offs_d, lids_d, roots, groups, anis, r_main, pdrf_exponent,
         jnp.float32(pdrf_scale))
     d_rail = _continue_until(d_rail, mask, n_chg, mode="node",
                              nodecost=pdrf, phase="rail")
@@ -672,7 +712,7 @@ def trace_global(
         n_act, n_chg = (int(v) for v in np.asarray(jax.device_get(pstats)))
         if n_chg > 0:
             taint_nc[:] |= np.asarray(jax.device_get(
-                _nc_reduce(pmask, cc16, offs_d, lids_d, crop)))
+                _nc_reduce(pmask, cc16, offs_d, lids_d, groups)))
         if debug:
             import time as _time
             print(f"[gengine] it={pit} n_act={n_act} n_chg={n_chg} "
@@ -689,7 +729,7 @@ def trace_global(
             offs_d, lids_d, roots_h,
             before_d, after_d, mp_d,
             jnp.float32(scale), jnp.float32(const),
-            crop, anis, r_ball, r_warm, bool(fix_branching), L)
+            groups, anis, r_ball, r_warm, bool(fix_branching), L)
         pending.append((it, stats, nc_mask))
         # stay one iteration ahead of the flag fetch: check it-1 while
         # iteration `it` runs on device

@@ -137,3 +137,40 @@ def test_soma_labels_fall_through_to_crop_engine():
     finally:
         os.environ.pop("KIMIMARO_TPU_GLOBAL_ENGINE", None)
     _assert_same(a, b)
+
+
+def test_two_tier_argmax_groups_match_crop_engine():
+    """>=32 compact labels + >=32 elongated labels force the two-tier
+    gather-crop split (p50 crop for the small group, p95 for the big);
+    results must equal the crop engine exactly."""
+    from kimimaro_tpu import gengine
+
+    vol = np.zeros((96, 72, 24), dtype=np.uint32)
+    lab = 0
+    # 36 small blobs (bbox ~5-6 per axis)
+    for i in range(6):
+        for j in range(6):
+            lab += 1
+            x, y = 2 + 16 * i, 2 + 12 * j
+            vol[x:x + 5, y:y + 5, 2:7] = lab
+    # 36 long tubes (bbox ~40 along x)
+    for i in range(6):
+        for j in range(6):
+            lab += 1
+            x, y = 4 + 15 * i, 2 + 11 * j
+            vol[x:x + min(40, 96 - x), y:y + 3, 10:13] = lab
+
+    # confirm the split actually engages for this bbox distribution
+    dims = np.array(
+        [np.ptp(np.array(np.nonzero(vol == k)), axis=1) + 1
+         for k in range(1, lab + 1)])
+    p50 = np.percentile(dims, 50, axis=0)
+    p95 = np.percentile(dims, 95, axis=0)
+    small = gengine._pow2_at_least(int(np.ceil(p50[0])))
+    bigc = gengine._pow2_at_least(int(np.ceil(p95[0])))
+    assert small < bigc, (p50, p95)
+
+    a = _skels(vol, True, fix_borders=False)
+    b = _skels(vol, False, fix_borders=False)
+    assert len(a) == lab
+    _assert_same(a, b)
