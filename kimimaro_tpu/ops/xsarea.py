@@ -263,11 +263,14 @@ def cross_section_areas(
                                 method="sweep"))
         rungs.append(_dense_rung(192))
 
+        # quantize the batch to {64, 256}: the lane count is baked into the
+        # compiled program shape, and every fresh shape is a full remote
+        # compile on the tunneled backend (minutes each)
         a, c = _run_batches(
             rungs, fg_t, ts,
             verts[sel][:, perm], normals[sel][:, perm],
             tuple(float(anis[p]) for p in perm),
-            min(batch, max(64, len(sel))))
+            min(batch, 64 if len(sel) <= 64 else 256))
         areas[sel] = a
         # remap permuted-axis contact bit pairs back to original axes
         cc = np.zeros_like(c)
