@@ -157,6 +157,10 @@ def _run_batches(kernels, fg, true_shape, verts, normals, anisotropy,
 
     def sweep(kernel, indices):
         pending = None
+        # escalation rungs usually carry a handful of stragglers: pad them
+        # to the small quantized width instead of the full batch (the wide
+        # escalation kernels are the expensive ones)
+        bw = 64 if len(indices) <= 64 else batch
 
         def land(pending):
             idx, (pa, pc, pv) = pending
@@ -165,11 +169,11 @@ def _run_batches(kernels, fg, true_shape, verts, normals, anisotropy,
             contacts[idx] = np.asarray(pc)[:take]
             convs[idx] = np.asarray(pv)[:take]
 
-        for i in range(0, len(indices), batch):
-            idx = indices[i: i + batch]
+        for i in range(0, len(indices), bw):
+            idx = indices[i: i + bw]
             v = verts[idx]
             m = normals[idx]
-            pad = batch - len(idx)
+            pad = bw - len(idx)
             if pad:
                 v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
                 m = np.concatenate([m, np.tile([[0.0, 0, 1.0]], (pad, 1))])
