@@ -282,6 +282,136 @@ def compact_cc(cc_raw):
     return cc, n_components, prefix
 
 
+def _range_reduce(levels, lo, hi, sentinel, op):
+    """Vectorized [lo, hi) range reduction over a min/max pyramid.
+
+    levels[k][i] reduces elements [i*2^k, (i+1)*2^k) of the base array;
+    the classic bottom-up segment-tree walk consumes odd endpoints at each
+    level, so each query costs 2 tiny gathers per level."""
+    res = jnp.full(lo.shape, sentinel, levels[0].dtype)
+    l, r = lo, hi
+    for arr in levels:
+        m = arr.shape[0]
+        oddl = (l & 1) == 1
+        usel = oddl & (l < r)
+        res = op(res, jnp.where(usel, arr[jnp.clip(l, 0, m - 1)], sentinel))
+        l = l + oddl.astype(l.dtype)
+        oddr = (r & 1) == 1
+        user = oddr & (l < r)
+        res = op(res, jnp.where(user, arr[jnp.clip(r - 1, 0, m - 1)],
+                                sentinel))
+        r = r - oddr.astype(r.dtype)
+        l = l >> 1
+        r = r >> 1
+    return res
+
+
+def _pyramids(mn0, mx0):
+    """Paired min/max pyramids over a base level (lists, coarsest last)."""
+    mn_levels, mx_levels = [mn0], [mx0]
+    while mn_levels[-1].shape[0] > 1:
+        a, b = mn_levels[-1], mx_levels[-1]
+        if a.shape[0] % 2:
+            a = jnp.concatenate([a, jnp.full((1,), _BIGID, a.dtype)])
+            b = jnp.concatenate([b, jnp.full((1,), -1, b.dtype)])
+        mn_levels.append(jnp.minimum(a[0::2], a[1::2]))
+        mx_levels.append(jnp.maximum(b[0::2], b[1::2]))
+    return mn_levels, mx_levels
+
+
+_RUN_BLOCK = 256
+
+
+def runs_bbox(flat, shape, ids):
+    """Counts + per-id bounding boxes of a flattened id volume, from ONE
+    key-value sort (ids keyed, linear index carried).
+
+    Within an id's sorted run the linear indices ascend, so the run
+    endpoints give the x extremes directly; y/z extremes come from
+    block-reduced min/max pyramids over the run (the blocks keep the
+    pyramid tiny — no full-resolution level is ever materialized beyond
+    the sorted index array itself) plus ragged-edge gathers of up to one
+    block per side. Replaces the previous three full-volume sorts.
+
+    flat: (n,) int32 nonnegative ids; shape: the 3D volume shape;
+    ids: (q,) int32 query ids. Returns (counts, mn (q,3), mx (q,3)
+    inclusive, present) — mn/mx are int32 max / -1 for absent ids.
+    """
+    n = flat.shape[0]
+    nx, ny, nz = (int(s) for s in shape)
+    stride0 = ny * nz
+    lin = jnp.arange(n, dtype=jnp.int32)
+    sorted_ids, sorted_lin = jax.lax.sort((flat, lin), num_keys=1)
+
+    lo = jnp.searchsorted(sorted_ids, ids)
+    hi = jnp.searchsorted(sorted_ids, ids + 1)
+    present = hi > lo
+    counts = hi - lo
+
+    lin_lo = sorted_lin[jnp.clip(lo, 0, n - 1)]
+    lin_hi = sorted_lin[jnp.clip(hi - 1, 0, n - 1)]
+    x_mn, x_mx = lin_lo // stride0, lin_hi // stride0
+
+    # block tables: XLA fuses the y/z arithmetic into the reductions, so
+    # no full-resolution y/z array hits HBM
+    B = _RUN_BLOCK
+    npad = (-n) % B
+    slin = (jnp.concatenate([sorted_lin, jnp.zeros((npad,), jnp.int32)])
+            if npad else sorted_lin)
+    blocks = slin.reshape(-1, B)
+    by = (blocks // nz) % ny
+    bz = blocks % nz
+    pyr = {
+        "y": _pyramids(by.min(axis=1), by.max(axis=1)),
+        "z": _pyramids(bz.min(axis=1), bz.max(axis=1)),
+    }
+    # the padded tail block is never an interior block of any query
+    # (hi <= n ⇒ its topmost interior block index < n // B), so the pad
+    # zeros cannot leak into results
+
+    lb = ((lo + B - 1) // B) * B  # first full-block boundary at/after lo
+    rb = (hi // B) * B            # last full-block boundary at/before hi
+    bl = lb // B
+    br = jnp.maximum(rb // B, bl)  # empty interior when the run is short
+
+    off = jnp.arange(B, dtype=jnp.int32)
+    outs = {}
+    for name, (pos0, endcap) in (
+        ("L", (lo, jnp.minimum(lb, hi))),
+        ("R", (rb, hi)),
+    ):
+        pos = pos0[:, None] + off[None, :]
+        valid = (pos >= lo[:, None]) & (pos < endcap[:, None])
+        v = slin[jnp.clip(pos, 0, n - 1)]
+        vy = (v // nz) % ny
+        vz = v % nz
+        outs[name] = (
+            jnp.min(jnp.where(valid, vy, _BIGID), axis=1),
+            jnp.max(jnp.where(valid, vy, -1), axis=1),
+            jnp.min(jnp.where(valid, vz, _BIGID), axis=1),
+            jnp.max(jnp.where(valid, vz, -1), axis=1),
+        )
+
+    ymn_i = _range_reduce(pyr["y"][0], bl, br, _BIGID, jnp.minimum)
+    ymx_i = _range_reduce(pyr["y"][1], bl, br, np.int32(-1), jnp.maximum)
+    zmn_i = _range_reduce(pyr["z"][0], bl, br, _BIGID, jnp.minimum)
+    zmx_i = _range_reduce(pyr["z"][1], bl, br, np.int32(-1), jnp.maximum)
+
+    y_mn = jnp.minimum(jnp.minimum(outs["L"][0], outs["R"][0]), ymn_i)
+    y_mx = jnp.maximum(jnp.maximum(outs["L"][1], outs["R"][1]), ymx_i)
+    z_mn = jnp.minimum(jnp.minimum(outs["L"][2], outs["R"][2]), zmn_i)
+    z_mx = jnp.maximum(jnp.maximum(outs["L"][3], outs["R"][3]), zmx_i)
+
+    imax = np.iinfo(np.int32).max
+    mn = jnp.stack(
+        [jnp.where(present, c, imax) for c in (x_mn, y_mn, z_mn)], axis=1
+    )
+    mx = jnp.stack(
+        [jnp.where(present, c, -1) for c in (x_mx, y_mx, z_mx)], axis=1
+    )
+    return counts, mn, mx, present
+
+
 @functools.partial(jax.jit, static_argnames=("n_max",))
 def label_info(cc, orig_labels, n_max: int, rep_prefix=None):
     """Per-component metadata on device: voxel counts, bounding boxes, and
@@ -289,11 +419,9 @@ def label_info(cc, orig_labels, n_max: int, rep_prefix=None):
     reference skeletontricks.pyx:490-525). One small fetch replaces a full
     volume readback.
 
-    Implemented scatter-free (TPU scatters process ~75M updates/s while
-    sorts run 134M int32 in ~0.4s): per axis, sort the packed key
-    cc*n_axis + coord; a component's voxels form one contiguous run whose
-    first/last entries ARE its bbox extremes, located by tiny binary
-    searches. Counts fall out of the same run boundaries. The
+    Implemented scatter-free via `runs_bbox`: ONE key-value sort of the
+    volume (TPU scatters process ~75M updates/s; a single sort replaces
+    the three per-axis packed-key sorts this used previously). The
     original-label mapping comes from a searchsorted over the (monotone)
     representative prefix-sum from compact_cc.
 
@@ -301,30 +429,9 @@ def label_info(cc, orig_labels, n_max: int, rep_prefix=None):
     inclusive, orig (n_max+1,)).
     """
     shape = cc.shape
-    assert (n_max + 2) * max(shape) < 2**31, (
-        "label_info packed sort keys exceed int32; reduce n_max"
-    )
     flat = cc.ravel().astype(jnp.int32)
     ids = jnp.arange(n_max + 1, dtype=jnp.int32)
-
-    bb_min = []
-    bb_max = []
-    counts = None
-    for axis in range(3):
-        na = shape[axis]
-        coord = jax.lax.broadcasted_iota(jnp.int32, shape, axis).ravel()
-        s = jnp.sort(flat * na + coord)
-        lo = jnp.searchsorted(s, ids * na)
-        hi = jnp.searchsorted(s, (ids + 1) * na)
-        present = hi > lo
-        mn = s[jnp.clip(lo, 0, s.shape[0] - 1)] - ids * na
-        mx = s[jnp.clip(hi - 1, 0, s.shape[0] - 1)] - ids * na
-        bb_min.append(jnp.where(present, mn, np.iinfo(np.int32).max))
-        bb_max.append(jnp.where(present, mx, -1))
-        if counts is None:
-            counts = hi - lo
-    bbox_min = jnp.stack(bb_min, axis=1)
-    bbox_max = jnp.stack(bb_max, axis=1)
+    counts, bbox_min, bbox_max, _present = runs_bbox(flat, shape, ids)
 
     # original label per component via its representative voxel (labels
     # must fit uint32; intake falls back to a host mapping for wider)

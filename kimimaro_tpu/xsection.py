@@ -43,14 +43,15 @@ def _id_bboxes_device(all_labels, ids):
     import jax
     import jax.numpy as jnp
 
+    from .ops.ccl import runs_bbox
+
     ids = np.asarray(sorted({int(i) for i in ids}), dtype=np.int64)
     if ids.size == 0:
         return {}
     shape = all_labels.shape
-    maxdim = max(shape)
-    # int32 key packing (x64 stays off): (id+2)*dim must fit in int31
+    # ids ride an int32 sort key (no coordinate packing needed)
     if (all_labels.dtype.kind not in "ui"
-            or int(ids.max()) + 2 > (2**31 - 1) // maxdim
+            or int(ids.max()) >= 2**31 - 1
             or int(ids.min()) < 0):
         return None
 
@@ -58,21 +59,11 @@ def _id_bboxes_device(all_labels, ids):
     def kernel(shp, nids):
         @jax.jit
         def run(flat, ids_d):
-            flat32 = flat.astype(jnp.int32)
-            mns, mxs = [], []
-            for axis in range(3):
-                na = shp[axis]
-                coord = jax.lax.broadcasted_iota(
-                    jnp.int32, shp, axis).ravel()
-                s = jnp.sort(flat32 * na + coord)
-                lo = jnp.searchsorted(s, ids_d * na)
-                hi = jnp.searchsorted(s, (ids_d + 1) * na)
-                present = hi > lo
-                mn = s[jnp.clip(lo, 0, s.shape[0] - 1)] - ids_d * na
-                mx = s[jnp.clip(hi - 1, 0, s.shape[0] - 1)] - ids_d * na
-                mns.append(jnp.where(present, mn, -1))
-                mxs.append(jnp.where(present, mx, -1))
-            return jnp.stack(mns, axis=1), jnp.stack(mxs, axis=1)
+            _counts, mn, mx, present = runs_bbox(
+                flat.astype(jnp.int32), shp, ids_d)
+            mn = jnp.where(present[:, None], mn, -1)
+            mx = jnp.where(present[:, None], mx, -1)
+            return mn, mx
 
         return run
 

@@ -85,3 +85,39 @@ def test_renumber_cc():
     assert set(remapping.values()) == {11, 22}
     for cid, orig in remapping.items():
         assert np.all(labels[cc == cid] == orig)
+
+
+def test_label_info_fuzz():
+    """label_info (one KV-sort + block pyramids) vs a numpy oracle:
+    counts, inclusive bboxes, and original-label mapping, across shapes
+    that exercise the ragged block edges (n % 256 != 0)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    for shape in [(7, 9, 11), (16, 16, 16), (33, 5, 21), (64, 64, 3)]:
+        labels = rng.randint(0, 5, size=shape).astype(np.uint32) * 7
+        cc_raw = ccl.connected_components(jnp.asarray(labels))
+        cc_dev, n_comp, prefix = ccl.compact_cc(cc_raw)
+        if n_comp == 0:
+            continue
+        n_max = 1 << max(int(np.ceil(np.log2(max(n_comp, 2)))), 1)
+        counts, bbmin, bbmax, orig = ccl.label_info(
+            cc_dev, jnp.asarray(labels), n_max=n_max, rep_prefix=prefix
+        )
+        counts = np.asarray(counts)
+        bbmin = np.asarray(bbmin)
+        bbmax = np.asarray(bbmax)
+        orig = np.asarray(orig)
+        cc = np.asarray(cc_dev)
+        for i in range(1, n_comp + 1):
+            mask = cc == i
+            assert counts[i] == mask.sum()
+            xs, ys, zs = np.nonzero(mask)
+            assert np.array_equal(bbmin[i], [xs.min(), ys.min(), zs.min()])
+            assert np.array_equal(bbmax[i], [xs.max(), ys.max(), zs.max()])
+            vals = np.unique(labels[mask])
+            assert len(vals) == 1 and vals[0] == orig[i]
+        # absent ids past n_comp: sentinel bboxes, zero counts
+        if n_max > n_comp:
+            assert counts[n_comp + 1] == 0
+            assert np.all(bbmax[n_comp + 1] == -1)
