@@ -158,20 +158,14 @@ def skeletonize(
     if n_components == 0:
         return {}
 
-    def fetch_info(cc_dev):
+    def fetch_info(cc_dev, dbf_dev=None):
         n_max = 1 << max(int(np.ceil(np.log2(max(n_components, 2)))), 1)
-        counts, bbmin, bbmax, orig = label_info(
-            cc_dev, labels_dev, n_max=n_max, rep_prefix=rep_prefix
+        out = label_info(
+            cc_dev, labels_dev, n_max=n_max, rep_prefix=rep_prefix,
+            dbf=dbf_dev,
         )
-        counts, bbmin, bbmax, orig = jax.device_get(
-            (counts, bbmin, bbmax, orig)
-        )
-        return (
-            np.asarray(counts)[: n_components + 1],
-            np.asarray(bbmin)[: n_components + 1],
-            np.asarray(bbmax)[: n_components + 1],
-            np.asarray(orig)[: n_components + 1],
-        )
+        out = jax.device_get(out)
+        return tuple(np.asarray(a)[: n_components + 1] for a in out)
 
     def edtfn_dev(cc):
         return edt_ops.edt(
@@ -225,21 +219,17 @@ def skeletonize(
         ]
         n_components = int(max(counts_map)) if counts_map else 0
     else:
-        with phase("label_info"):
-            counts, bbmin, bbmax, orig = fetch_info(cc_dev)
-        remapping = {i: int(orig[i]) for i in range(1, n_components + 1)}
         with phase("edt"):
             dbf_dev = edtfn_dev(cc_dev)
             dbf_dev.block_until_ready()
-        with phase("label_dbfmax"):
-            # per-label DBF max: lets the engine statically skip the
-            # soma refill/re-EDT branch for labels that cannot trigger it
-            # (reference trace.py:104-119 gates on dbf_max)
-            n_cap = n_components + 1
-            dmax = jnp.zeros((n_cap,), jnp.float32).at[
-                cc_dev.ravel().astype(jnp.int32) % n_cap
-            ].max(dbf_dev.ravel())
-            dbfmax_arr = np.asarray(jax.device_get(dmax))
+        with phase("label_info"):
+            # one fused pass also yields the per-label DBF max, which lets
+            # the engine statically skip the soma refill/re-EDT branch for
+            # labels that cannot trigger it (reference trace.py:104-119
+            # gates on dbf_max)
+            counts, bbmin, bbmax, orig, dbfmax_arr = fetch_info(
+                cc_dev, dbf_dev)
+        remapping = {i: int(orig[i]) for i in range(1, n_components + 1)}
         counts_map = {i: int(counts[i]) for i in range(1, n_components + 1)}
         bb = {
             i: (bbmin[i], bbmax[i])

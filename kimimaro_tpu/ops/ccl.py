@@ -28,6 +28,7 @@ OFFSETS26 = neighborhood_offsets(26)
 
 
 _BIGID = np.int32(2**31 - 1)
+INF_F32 = np.float32(np.inf)
 
 
 def _plane_offsets_ccl(axis, direction):
@@ -322,7 +323,7 @@ def _pyramids(mn0, mx0):
 _RUN_BLOCK = 256
 
 
-def runs_bbox(flat, shape, ids):
+def runs_bbox(flat, shape, ids, values=None):
     """Counts + per-id bounding boxes of a flattened id volume, from ONE
     key-value sort (ids keyed, linear index carried).
 
@@ -334,14 +335,23 @@ def runs_bbox(flat, shape, ids):
     block per side. Replaces the previous three full-volume sorts.
 
     flat: (n,) int32 nonnegative ids; shape: the 3D volume shape;
-    ids: (q,) int32 query ids. Returns (counts, mn (q,3), mx (q,3)
-    inclusive, present) — mn/mx are int32 max / -1 for absent ids.
+    ids: (q,) int32 query ids; values: optional (n,) f32 carried through
+    the same sort for a per-id max (e.g. the per-label DBF max the trace
+    engine gates soma handling on — riding the sort replaces a full-volume
+    scatter-max pass). Returns (counts, mn (q,3), mx (q,3) inclusive,
+    present[, vmax (q,) when values given]) — mn/mx are int32 max / -1
+    for absent ids.
     """
     n = flat.shape[0]
     nx, ny, nz = (int(s) for s in shape)
     stride0 = ny * nz
     lin = jnp.arange(n, dtype=jnp.int32)
-    sorted_ids, sorted_lin = jax.lax.sort((flat, lin), num_keys=1)
+    if values is None:
+        sorted_ids, sorted_lin = jax.lax.sort((flat, lin), num_keys=1)
+        sorted_val = None
+    else:
+        sorted_ids, sorted_lin, sorted_val = jax.lax.sort(
+            (flat, lin, values.astype(jnp.float32)), num_keys=1)
 
     lo = jnp.searchsorted(sorted_ids, ids)
     hi = jnp.searchsorted(sorted_ids, ids + 1)
@@ -365,6 +375,18 @@ def runs_bbox(flat, shape, ids):
         "y": _pyramids(by.min(axis=1), by.max(axis=1)),
         "z": _pyramids(bz.min(axis=1), bz.max(axis=1)),
     }
+    if sorted_val is not None:
+        sval = (jnp.concatenate(
+            [sorted_val, jnp.full((npad,), -INF_F32, jnp.float32)])
+            if npad else sorted_val)
+        vblocks = sval.reshape(-1, B)
+        vmax_levels = [vblocks.max(axis=1)]
+        while vmax_levels[-1].shape[0] > 1:
+            a = vmax_levels[-1]
+            if a.shape[0] % 2:
+                a = jnp.concatenate(
+                    [a, jnp.full((1,), -INF_F32, jnp.float32)])
+            vmax_levels.append(jnp.maximum(a[0::2], a[1::2]))
     # the padded tail block is never an interior block of any query
     # (hi <= n ⇒ its topmost interior block index < n // B), so the pad
     # zeros cannot leak into results
@@ -376,13 +398,15 @@ def runs_bbox(flat, shape, ids):
 
     off = jnp.arange(B, dtype=jnp.int32)
     outs = {}
+    vedge = {}
     for name, (pos0, endcap) in (
         ("L", (lo, jnp.minimum(lb, hi))),
         ("R", (rb, hi)),
     ):
         pos = pos0[:, None] + off[None, :]
         valid = (pos >= lo[:, None]) & (pos < endcap[:, None])
-        v = slin[jnp.clip(pos, 0, n - 1)]
+        pos_c = jnp.clip(pos, 0, n - 1)
+        v = slin[pos_c]
         vy = (v // nz) % ny
         vz = v % nz
         outs[name] = (
@@ -391,6 +415,9 @@ def runs_bbox(flat, shape, ids):
             jnp.min(jnp.where(valid, vz, _BIGID), axis=1),
             jnp.max(jnp.where(valid, vz, -1), axis=1),
         )
+        if sorted_val is not None:
+            vedge[name] = jnp.max(
+                jnp.where(valid, sorted_val[pos_c], -INF_F32), axis=1)
 
     ymn_i = _range_reduce(pyr["y"][0], bl, br, _BIGID, jnp.minimum)
     ymx_i = _range_reduce(pyr["y"][1], bl, br, np.int32(-1), jnp.maximum)
@@ -409,11 +436,16 @@ def runs_bbox(flat, shape, ids):
     mx = jnp.stack(
         [jnp.where(present, c, -1) for c in (x_mx, y_mx, z_mx)], axis=1
     )
-    return counts, mn, mx, present
+    if sorted_val is None:
+        return counts, mn, mx, present
+    vmx_i = _range_reduce(vmax_levels, bl, br, -INF_F32, jnp.maximum)
+    vmax = jnp.maximum(jnp.maximum(vedge["L"], vedge["R"]), vmx_i)
+    vmax = jnp.where(present, vmax, 0.0)
+    return counts, mn, mx, present, vmax
 
 
 @functools.partial(jax.jit, static_argnames=("n_max",))
-def label_info(cc, orig_labels, n_max: int, rep_prefix=None):
+def label_info(cc, orig_labels, n_max: int, rep_prefix=None, dbf=None):
     """Per-component metadata on device: voxel counts, bounding boxes, and
     the original label of each component (the get_mapping equivalent,
     reference skeletontricks.pyx:490-525). One small fetch replaces a full
@@ -425,13 +457,22 @@ def label_info(cc, orig_labels, n_max: int, rep_prefix=None):
     original-label mapping comes from a searchsorted over the (monotone)
     representative prefix-sum from compact_cc.
 
+    dbf: optional distance field; when given, its per-component max rides
+    the same sort (replacing a separate full-volume scatter-max phase) and
+    a fifth array is returned.
+
     Returns (counts (n_max+1,), bbox_min (n_max+1,3), bbox_max (n_max+1,3)
-    inclusive, orig (n_max+1,)).
+    inclusive, orig (n_max+1,)[, dbfmax (n_max+1,)]).
     """
     shape = cc.shape
     flat = cc.ravel().astype(jnp.int32)
     ids = jnp.arange(n_max + 1, dtype=jnp.int32)
-    counts, bbox_min, bbox_max, _present = runs_bbox(flat, shape, ids)
+    dbfmax = None
+    if dbf is None:
+        counts, bbox_min, bbox_max, _present = runs_bbox(flat, shape, ids)
+    else:
+        counts, bbox_min, bbox_max, _present, dbfmax = runs_bbox(
+            flat, shape, ids, values=dbf.ravel())
 
     # original label per component via its representative voxel (labels
     # must fit uint32; intake falls back to a host mapping for wider)
@@ -444,7 +485,9 @@ def label_info(cc, orig_labels, n_max: int, rep_prefix=None):
     else:
         orig = jnp.zeros((n_max + 1,), dtype=jnp.uint32)
         orig = orig.at[flat].max(orig_labels.ravel().astype(jnp.uint32))
-    return counts, bbox_min, bbox_max, orig
+    if dbfmax is None:
+        return counts, bbox_min, bbox_max, orig
+    return counts, bbox_min, bbox_max, orig, dbfmax
 
 
 def renumber_cc(

@@ -101,9 +101,12 @@ def test_label_info_fuzz():
         if n_comp == 0:
             continue
         n_max = 1 << max(int(np.ceil(np.log2(max(n_comp, 2)))), 1)
-        counts, bbmin, bbmax, orig = ccl.label_info(
-            cc_dev, jnp.asarray(labels), n_max=n_max, rep_prefix=prefix
+        dbf = rng.rand(*shape).astype(np.float32)
+        counts, bbmin, bbmax, orig, dbfmax = ccl.label_info(
+            cc_dev, jnp.asarray(labels), n_max=n_max, rep_prefix=prefix,
+            dbf=jnp.asarray(dbf),
         )
+        dbfmax = np.asarray(dbfmax)
         counts = np.asarray(counts)
         bbmin = np.asarray(bbmin)
         bbmax = np.asarray(bbmax)
@@ -117,6 +120,7 @@ def test_label_info_fuzz():
             assert np.array_equal(bbmax[i], [xs.max(), ys.max(), zs.max()])
             vals = np.unique(labels[mask])
             assert len(vals) == 1 and vals[0] == orig[i]
+            assert np.isclose(dbfmax[i], dbf[mask].max())
         # absent ids past n_comp: sentinel bboxes, zero counts
         if n_max > n_comp:
             assert counts[n_comp + 1] == 0
