@@ -8,6 +8,11 @@ forced through jax.config *after* import, before first backend use.
 
 import os
 
+# persist lowered programs across test processes (jax.export): the suite's
+# dominant cost is re-TRACING the big vmapped kernels every run — the
+# XLA compile cache below can't help with that (see utils/progcache.py)
+os.environ.setdefault("KIMIMARO_TPU_PROGCACHE", "1")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -781,10 +781,23 @@ def trace_batched(
                     cc_in, dbf_in = cc_dev, dbf_dev
                     lane_crops = False
 
+                from .utils import progcache
+
+                statics = dict(
+                    crop_shape=bshape, anisotropy=anis,
+                    pdrf_exponent=pdrf_exponent,
+                    fix_branching=bool(fix_branching),
+                    has_vg=has_vg, K=K, L=L,
+                    relax_rounds=relax_rounds,
+                    soma_possible=soma,
+                    lane_crops=lane_crops,
+                )
                 outs = None
                 for attempt in range(3):
                     try:
-                        outs = batched_trace_kernel(
+                        outs = progcache.call(
+                            "batched_trace_kernel", batched_trace_kernel,
+                            statics,
                             cc_in, dbf_in, vg_full,
                             jnp.asarray(lids), jnp.asarray(offs),
                             jnp.asarray(bef), jnp.asarray(nbef),
@@ -795,13 +808,6 @@ def trace_batched(
                             jnp.float32(sdt), jnp.float32(sat),
                             jnp.float32(sis), jnp.float32(sic),
                             jnp.float32(pdrf_scale),
-                            crop_shape=bshape, anisotropy=anis,
-                            pdrf_exponent=pdrf_exponent,
-                            fix_branching=bool(fix_branching),
-                            has_vg=has_vg, K=K, L=L,
-                            relax_rounds=relax_rounds,
-                            soma_possible=soma,
-                            lane_crops=lane_crops,
                         )
                         break
                     except jax.errors.JaxRuntimeError as e:

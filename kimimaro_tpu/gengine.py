@@ -49,6 +49,7 @@ import numpy as np
 
 from .ops import gsweep
 from .ops.fused_trace import RELAX_ROUNDS
+from .utils import progcache
 
 INF = np.float32(np.inf)
 
@@ -327,8 +328,8 @@ def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
 @functools.partial(jax.jit, static_argnames=(
     "groups", "anisotropy", "rounds", "pdrf_exponent"))
 def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
-                     roots, groups, anisotropy, rounds, pdrf_exponent,
-                     pdrf_scale):
+                     roots, pdrf_scale, groups, anisotropy, rounds,
+                     pdrf_exponent):
     """PDRF from the DBF + DAF (reference trace.py:315-356, exact crop
     engine formula engine._one_label) and the initial rail field."""
     cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
@@ -645,15 +646,18 @@ def trace_global(
         if debug:
             print(f"[gengine] setup {phase}: n_chg={int(n_chg)}", flush=True)
         while int(n_chg) > 0 and stages < EXTRA_ROUND_STAGES:
-            field, mask, n_chg = _relax_cont(
-                field, cc_x, cc_y, cc_z, nodecost, anis, 4, mode)
+            field, mask, n_chg = progcache.call(
+                "gengine_relax_cont", _relax_cont,
+                dict(anisotropy=anis, rounds=4, mode=mode),
+                field, cc_x, cc_y, cc_z, nodecost)
             stages += 1
             if debug:
                 print(f"[gengine] setup {phase} stage {stages}: "
                       f"n_chg={int(n_chg)}", flush=True)
         if int(n_chg) > 0:
-            bits = np.asarray(jax.device_get(
-                _nc_reduce(mask, cc16, offs_d, lids_d, groups)))
+            bits = np.asarray(jax.device_get(progcache.call(
+                "gengine_nc_reduce", _nc_reduce, dict(groups=groups),
+                mask, cc16, offs_d, lids_d)))
             setup_taint[:] |= bits
             if debug:
                 print(f"[gengine] setup {phase}: tainted {int(bits.sum())}",
@@ -661,20 +665,26 @@ def trace_global(
         return field
 
     # --- setup fields
-    probe, mask, n_chg = _probe_phase(cc_x, cc_y, cc_z,
-                                      jnp.asarray(firstvox), anis, r_main)
+    probe, mask, n_chg = progcache.call(
+        "gengine_probe", _probe_phase,
+        dict(anisotropy=anis, rounds=r_main),
+        cc_x, cc_y, cc_z, jnp.asarray(firstvox))
     probe = _continue_until(probe, mask, n_chg, phase="probe")
 
-    roots, daf, mask, n_chg = _root_daf_phase(
+    roots, daf, mask, n_chg = progcache.call(
+        "gengine_root_daf", _root_daf_phase,
+        dict(groups=groups, anisotropy=anis, rounds=r_main),
         probe, cc_x, cc_y, cc_z, cc16, offs_d, lids_d,
-        jnp.asarray(roots_in), jnp.asarray(has_root), groups, anis, r_main)
+        jnp.asarray(roots_in), jnp.asarray(has_root))
     daf = _continue_until(daf, mask, n_chg, phase="daf")
     del probe
 
-    daf, pdrf, d_rail, mask, n_chg = _pdrf_rail_phase(
+    daf, pdrf, d_rail, mask, n_chg = progcache.call(
+        "gengine_pdrf_rail", _pdrf_rail_phase,
+        dict(groups=groups, anisotropy=anis, rounds=r_main,
+             pdrf_exponent=pdrf_exponent),
         daf, dbf, jnp.asarray(m_table), cc_x, cc_y, cc_z, cc16,
-        offs_d, lids_d, roots, groups, anis, r_main, pdrf_exponent,
-        jnp.float32(pdrf_scale))
+        offs_d, lids_d, roots, jnp.float32(pdrf_scale))
     d_rail = _continue_until(d_rail, mask, n_chg, mode="node",
                              nodecost=pdrf, phase="rail")
 
@@ -711,8 +721,9 @@ def trace_global(
         """Fetch a finished iteration's flags; returns its active count."""
         n_act, n_chg = (int(v) for v in np.asarray(jax.device_get(pstats)))
         if n_chg > 0:
-            taint_nc[:] |= np.asarray(jax.device_get(
-                _nc_reduce(pmask, cc16, offs_d, lids_d, groups)))
+            taint_nc[:] |= np.asarray(jax.device_get(progcache.call(
+                "gengine_nc_reduce", _nc_reduce, dict(groups=groups),
+                pmask, cc16, offs_d, lids_d)))
         if debug:
             import time as _time
             print(f"[gengine] it={pit} n_act={n_act} n_chg={n_chg} "
@@ -720,16 +731,19 @@ def trace_global(
                   f"t={_time.perf_counter():.1f}", flush=True)
         return n_act
 
+    iter_statics = dict(
+        groups=groups, anisotropy=anis, r_ball=r_ball, r_warm=r_warm,
+        fix_branching=bool(fix_branching), L=L)
     for it in range(K_ITER):
         (valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
-         stats, nc_mask) = _iteration(
+         stats, nc_mask) = progcache.call(
+            "gengine_iteration", _iteration, iter_statics,
             valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
             jnp.int32(it),
             daf, dbf, cc_x, cc_y, cc_z, cc16,
             offs_d, lids_d, roots_h,
             before_d, after_d, mp_d,
-            jnp.float32(scale), jnp.float32(const),
-            groups, anis, r_ball, r_warm, bool(fix_branching), L)
+            jnp.float32(scale), jnp.float32(const))
         pending.append((it, stats, nc_mask))
         # stay one iteration ahead of the flag fetch: check it-1 while
         # iteration `it` runs on device
