@@ -124,5 +124,33 @@ def call(name: str, jitted_fn, static_kwargs: dict, *args):
                     with open(tmp, "wb") as fh:
                         fh.write(exp.serialize())
                     os.replace(tmp, path)
+                    _prune()
                 _mem[key] = exp
     return exp.call(*args)
+
+
+_PRUNE_MAX = 8192
+
+
+def _prune():
+    """Source-hash keys strand old entries on every commit; keep the
+    directory bounded by dropping the oldest half when it overflows."""
+    try:
+        names = os.listdir(_cache_dir())
+    except OSError:
+        return
+    if len(names) <= _PRUNE_MAX:
+        return
+    paths = []
+    for nm in names:
+        p = os.path.join(_cache_dir(), nm)
+        try:
+            paths.append((os.path.getmtime(p), p))
+        except OSError:
+            pass
+    paths.sort()
+    for _, p in paths[: len(paths) // 2]:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
