@@ -23,6 +23,11 @@ import numpy as np
 
 BASELINE_LABELS_PER_SEC = 2124.0 / 94.0  # M3, kimimaro 5.4.0
 
+_LAST_SUCCESS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    ".bench_cache", "last_success.json",
+)
+
 
 def _backend_name():
     try:
@@ -229,15 +234,23 @@ def main():
     def _watchdog():
         if not init_done.wait(float(os.environ.get("BENCH_INIT_TIMEOUT",
                                                    "300"))):
-            print(json.dumps({
+            rec = {
                 "metric": "skeletonize (backend init timeout)",
                 "value": 0.0,
                 "unit": "labels/s",
                 "vs_baseline": 0.0,
                 "error": "jax backend init exceeded timeout — TPU tunnel "
-                         "down? (see memory: tunnel relay cannot be "
-                         "restarted from inside the sandbox)",
-            }), flush=True)
+                         "down? (the stdio relay cannot be restarted from "
+                         "inside the sandbox)",
+            }
+            # embed the last successful TPU measurement (clearly labeled
+            # stale) so a dead tunnel doesn't erase the perf record
+            try:
+                with open(_LAST_SUCCESS) as fh:
+                    rec["stale_last_tpu_result"] = json.load(fh)
+            except OSError:
+                pass
+            print(json.dumps(rec), flush=True)
             os._exit(3)
 
     threading.Thread(target=_watchdog, daemon=True).start()
@@ -404,6 +417,23 @@ def main():
         "backend": _backend_name(),
     }
     out.update(neurite)
+    if _backend_name() in ("tpu", "axon") and n >= 512:
+        try:
+            import datetime
+            import subprocess
+
+            rec = dict(out)
+            rec["recorded_utc"] = datetime.datetime.utcnow().isoformat()
+            rec["commit"] = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+            os.makedirs(os.path.dirname(_LAST_SUCCESS), exist_ok=True)
+            with open(_LAST_SUCCESS, "w") as fh:
+                json.dump(rec, fh)
+        except Exception:
+            pass
     print(json.dumps(out))
 
 
