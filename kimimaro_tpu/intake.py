@@ -149,8 +149,12 @@ def skeletonize(
     profiling.count("host_prep_ms",
                     int(1000 * (_time0.perf_counter() - _t_prep)))
 
-    with phase("ccl"):
+    with phase("upload"):
+        # h2d of the whole volume rides the tunnel (~30-130 MB/s): keep
+        # its cost out of the ccl phase so the breakdown stays honest
         labels_dev = stream_upload() if streaming else jnp.asarray(upload)
+        labels_dev.block_until_ready()
+    with phase("ccl"):
         cc_raw = connected_components(labels_dev, voxel_graph=vg_dev)
         cc_dev, n_comp, rep_prefix = compact_cc(cc_raw)
         del cc_raw
@@ -356,9 +360,15 @@ def skeletonize(
 
     offsets_by_segid = {j["segid"]: j["offset"] for j in jobs}
     with phase("finalize"):
+        import time as _timef
+
         skeletons = defaultdict(list)
+        _t_b = _timef.perf_counter()
         batched = engine.paths_to_skeletons_batched(
             results, offsets_by_segid, anisotropy)
+        profiling.count("fin_batched_ms",
+                        int(1000 * (_timef.perf_counter() - _t_b)))
+        _t_b = _timef.perf_counter()
         if batched is None:
             # >=2^16 labels: per-label fallback (identical semantics)
             for segid, path_list in results.items():
@@ -383,6 +393,8 @@ def skeletonize(
                 )
                 skel.space = "physical"
                 skeletons[orig_segid].append(skel)
+        profiling.count("fin_wrap_ms",
+                        int(1000 * (_timef.perf_counter() - _t_b)))
 
     # host fallback for jobs exceeding the device buffers
     with phase("host_fallback"):
