@@ -101,7 +101,15 @@ def skeletonize(
         if minlabel == 0 and maxlabel == 0:
             return {}
     else:
-        all_labels = format_labels(all_labels, in_place=in_place)
+        # the defensive copy (in_place=False contract: never mutate the
+        # caller's array) is only needed when a stage actually writes:
+        # object masking and the host transforms. The pure device path
+        # only reads, so it may share the caller's buffer.
+        will_mutate = (
+            object_ids is not None or fill_holes or fix_avocados
+        )
+        all_labels = format_labels(
+            all_labels, in_place=in_place or not will_mutate)
         all_labels = apply_object_mask(all_labels, object_ids)
 
         if all_labels.size <= dust_threshold:
