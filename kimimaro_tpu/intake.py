@@ -687,38 +687,83 @@ def find_border_targets(dt_plane: np.ndarray, cc_plane: np.ndarray, wx: float, w
     }
 
 
-def compute_border_targets(cc_labels: np.ndarray, anisotropy) -> Dict[int, np.ndarray]:
+def _face_stack(cc):
+    """The six border faces of a volume packed into one (11, P0, P1)
+    zero-padded stack with zero separator planes between faces (26-conn
+    CCL cannot merge across a zero plane). One device call + one fetch
+    replaces six of each — the per-face loop paid ~5 tunnel roundtrips
+    per face."""
+    import jax.numpy as jnp
+
+    sx, sy, sz = cc.shape
+    P0, P1 = max(sx, sy), max(sy, sz)
+    faces = [
+        cc[:, :, 0], cc[:, :, -1],
+        cc[:, 0, :], cc[:, -1, :],
+        cc[0, :, :], cc[-1, :, :],
+    ]
+    stack = jnp.zeros((11, P0, P1), cc.dtype)
+    for i, f in enumerate(faces):
+        stack = stack.at[2 * i, : f.shape[0], : f.shape[1]].set(f)
+    return stack
+
+
+def compute_border_targets(cc_labels, anisotropy) -> Dict[int, np.ndarray]:
     """For each of the six faces: 2D CCL + 2D EDT + deterministic per-label
-    max picks (reference intake.py:544-585)."""
+    max picks (reference intake.py:544-585). All six faces ride one
+    batched CCL call and three batched EDT calls (one per anisotropy
+    pair); padding with background is exact because a zero-label neighbor
+    raises the same distance wall as `black_border`."""
     sx, sy, sz = cc_labels.shape
 
-    planes = (
-        (cc_labels[:, :, 0], (0, 1), lambda x, y: (x, y, 0)),
-        (cc_labels[:, :, -1], (0, 1), lambda x, y: (x, y, sz - 1)),
-        (cc_labels[:, 0, :], (0, 2), lambda x, z: (x, 0, z)),
-        (cc_labels[:, -1, :], (0, 2), lambda x, z: (x, sy - 1, z)),
-        (cc_labels[0, :, :], (1, 2), lambda y, z: (0, y, z)),
-        (cc_labels[-1, :, :], (1, 2), lambda y, z: (sx - 1, y, z)),
+    face_meta = (
+        ((sx, sy), (0, 1), lambda x, y: (x, y, 0)),
+        ((sx, sy), (0, 1), lambda x, y: (x, y, sz - 1)),
+        ((sx, sz), (0, 2), lambda x, z: (x, 0, z)),
+        ((sx, sz), (0, 2), lambda x, z: (x, sy - 1, z)),
+        ((sy, sz), (1, 2), lambda y, z: (0, y, z)),
+        ((sy, sz), (1, 2), lambda y, z: (sx - 1, y, z)),
     )
+
+    stack_dev = _face_stack(jnp.asarray(cc_labels))
+    cc_stack_dev = connected_components(stack_dev)
+    stack_np, cc_stack = (
+        np.asarray(a) for a in jax.device_get((stack_dev, cc_stack_dev))
+    )
+
+    # batched EDT per anisotropy pair: stacking along axis 0 with a huge
+    # axis-0 weight leaves in-plane distances exact (any axis-0 step
+    # exceeds every possible in-plane distance)
+    dt_faces = [None] * 6
+    for pair in ((0, 1), (2, 3), (4, 5)):
+        idx = [2 * i for i in pair]
+        if not cc_stack[idx].any():
+            continue
+        dims = face_meta[pair[0]][1]
+        wx = float(anisotropy[dims[0]])
+        wy = float(anisotropy[dims[1]])
+        sub = jnp.stack([cc_stack_dev[i] for i in idx])
+        dt = np.asarray(jax.device_get(edt_ops.edt(
+            sub, (1e9, wx, wy), black_border=True)))
+        dt_faces[pair[0]], dt_faces[pair[1]] = dt[0], dt[1]
 
     target_list = defaultdict(set)
 
-    for plane, dims, rotatefn in planes:
+    for face_i, (fshape, dims, rotatefn) in enumerate(face_meta):
+        if dt_faces[face_i] is None:
+            continue
         wx, wy = float(anisotropy[dims[0]]), float(anisotropy[dims[1]])
-        plane = np.asarray(plane)  # one fetch per face when device-resident
+        plane = stack_np[2 * face_i, : fshape[0], : fshape[1]]
         if not plane.any():
             continue
-        plane3 = plane[..., np.newaxis]
-        cc_raw = np.asarray(jax.device_get(connected_components(plane3)))[..., 0]
+        cc_raw = cc_stack[2 * face_i, : fshape[0], : fshape[1]]
         # compact to 1..N preserving background = 0
         uniq, inv = np.unique(cc_raw, return_inverse=True)
         has_bg = len(uniq) > 0 and uniq[0] == 0
         new_vals = np.arange(len(uniq)) if has_bg else np.arange(1, len(uniq) + 1)
         cc_plane = new_vals[inv].reshape(plane.shape).astype(np.int32)
 
-        dt_plane = np.asarray(
-            jax.device_get(edt_ops.edt(cc_plane, (wx, wy), black_border=True))
-        )
+        dt_plane = dt_faces[face_i][: fshape[0], : fshape[1]]
 
         plane_targets = find_border_targets(dt_plane, cc_plane, wx, wy)
 
