@@ -260,12 +260,22 @@ def cross_section_areas(
                     fg, v, m, ts_, an, W=W, rounds=rounds, method=method)
             return run
 
-        rungs = [_slab_rung(64, 96)]
-        if max(pshape[0], pshape[1]) > 64:
+        if max(pshape[0], pshape[1]) <= 128:
+            # the whole crop fits one sweep window: sections can never
+            # escape it, so the first rung converges for everything but
+            # extreme serpentines — each dropped rung saves a full
+            # dispatch+fetch roundtrip, the dominant cost on the
+            # tunneled backend
+            rungs = [
+                _slab_rung(max(pshape[0], pshape[1]), 10, method="sweep"),
+                _dense_rung(192),
+            ]
+        else:
+            rungs = [_slab_rung(64, 96)]
             rungs.append(_slab_rung(256, 4, method="sweep"))
-        rungs.append(_slab_rung(max(pshape[0], pshape[1]), 10,
-                                method="sweep"))
-        rungs.append(_dense_rung(192))
+            rungs.append(_slab_rung(max(pshape[0], pshape[1]), 10,
+                                    method="sweep"))
+            rungs.append(_dense_rung(192))
 
         # quantize the batch to {64, 256}: the lane count is baked into the
         # compiled program shape, and every fresh shape is a full remote
