@@ -139,66 +139,77 @@ def _bdim(x):
 _PERMS = ((1, 2, 0), (0, 2, 1), (0, 1, 2))  # dominant axis d moved last
 
 
+def _dispatch_sweep(kernel, fg, true_shape, verts, normals, anisotropy,
+                    indices, batch):
+    """Dispatch one rung over `indices` WITHOUT waiting: returns a list of
+    (idx, device outs) handles. JAX dispatch is async, so every batch of
+    every group can be in flight before the first result is fetched —
+    dispatch+fetch roundtrips over the tunnel, not kernel math, dominate
+    the cross-section wall time."""
+    # escalation rungs usually carry a handful of stragglers: pad them
+    # to the small quantized width instead of the full batch (the wide
+    # escalation kernels are the expensive ones)
+    bw = 64 if len(indices) <= 64 else batch
+    pend = []
+    for i in range(0, len(indices), bw):
+        idx = indices[i: i + bw]
+        v = verts[idx]
+        m = normals[idx]
+        pad = bw - len(idx)
+        if pad:
+            v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
+            m = np.concatenate([m, np.tile([[0.0, 0, 1.0]], (pad, 1))])
+        pend.append((idx, kernel(fg, jnp.asarray(v), jnp.asarray(m),
+                                 true_shape, anisotropy)))
+    return pend
+
+
+def _land(pend, areas, contacts, convs):
+    """Fetch a pending list's results (one bulk device_get)."""
+    if not pend:
+        return
+    fetched = jax.device_get([out for _, out in pend])
+    for (idx, _), (pa, pc, pv) in zip(pend, fetched):
+        take = len(idx)
+        areas[idx] = np.asarray(pa)[:take]
+        contacts[idx] = np.asarray(pc)[:take]
+        convs[idx] = np.asarray(pv)[:take]
+
+
 def _run_batches(kernels, fg, true_shape, verts, normals, anisotropy,
                  batch):
-    """Pipelined batched dispatch with an escalation ladder: `kernels` is
-    a list of callables (fg, verts, normals, true_shape, anisotropy) ->
-    (areas, contacts, conv); unconverged queries re-run on the next rung
-    (one batch stays in flight while the previous result crosses the
-    tunnel)."""
-    import time as _time
-
-    from ..utils import profiling
-
+    """Full ladder over one query set: rung 0 async-dispatched and landed,
+    then escalations (composition of the two-phase primitives below)."""
     n = verts.shape[0]
     areas = np.zeros(n, dtype=np.float32)
     contacts = np.zeros(n, dtype=np.uint8)
     convs = np.zeros(n, dtype=bool)
+    _land(_dispatch_sweep(kernels[0], fg, true_shape, verts, normals,
+                          anisotropy, np.arange(n), batch),
+          areas, contacts, convs)
+    _run_escalations(kernels[1:], fg, true_shape, verts, normals,
+                     anisotropy, batch, areas, contacts, convs)
+    return areas, contacts
 
-    def sweep(kernel, indices):
-        pending = None
-        # escalation rungs usually carry a handful of stragglers: pad them
-        # to the small quantized width instead of the full batch (the wide
-        # escalation kernels are the expensive ones)
-        bw = 64 if len(indices) <= 64 else batch
 
-        def land(pending):
-            idx, (pa, pc, pv) = pending
-            take = len(idx)
-            areas[idx] = np.asarray(pa)[:take]
-            contacts[idx] = np.asarray(pc)[:take]
-            convs[idx] = np.asarray(pv)[:take]
+def _run_escalations(kernels, fg, true_shape, verts, normals, anisotropy,
+                     batch, areas, contacts, convs):
+    """Rungs past the first, run only on unconverged queries."""
+    import time as _time
 
-        for i in range(0, len(indices), bw):
-            idx = indices[i: i + bw]
-            v = verts[idx]
-            m = normals[idx]
-            pad = bw - len(idx)
-            if pad:
-                v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
-                m = np.concatenate([m, np.tile([[0.0, 0, 1.0]], (pad, 1))])
-            out = kernel(fg, jnp.asarray(v), jnp.asarray(m), true_shape,
-                         anisotropy)
-            if pending is not None:
-                land(pending)
-            pending = (idx, out)
-        if pending is not None:
-            land(pending)
+    from ..utils import profiling
 
-    t0 = _time.perf_counter()
-    sweep(kernels[0], np.arange(n))
-    profiling.count("xs_rung0_queries", n)
-    profiling.count("xs_rung0_ms", int(1000 * (_time.perf_counter() - t0)))
-    for r, kernel in enumerate(kernels[1:], start=1):
+    for r, kernel in enumerate(kernels, start=1):
         bad = np.flatnonzero(~convs)
         if len(bad) == 0:
             break
         t0 = _time.perf_counter()
-        sweep(kernel, bad)
+        _land(_dispatch_sweep(kernel, fg, true_shape, verts, normals,
+                              anisotropy, bad, batch),
+              areas, contacts, convs)
         profiling.count(f"xs_rung{r}_queries", len(bad))
         profiling.count(f"xs_rung{r}_ms",
                         int(1000 * (_time.perf_counter() - t0)))
-    return areas, contacts
 
 
 def cross_section_areas(
@@ -231,12 +242,27 @@ def cross_section_areas(
     areas = np.zeros(n, dtype=np.float32)
     contacts = np.zeros(n, dtype=np.uint8)
 
+    import time as _time
+
+    from ..utils import profiling
+
     def _dense_rung(rounds):
         def run(fg, v, m, ts, an):
             a, c, cv = _sections_batch(fg, v, m, ts, an, rounds=rounds)
             return a, c, cv
         return run
 
+    def _slab_rung(W, rounds, method="dilate"):
+        def run(fg, v, m, ts_, an):
+            return xsslab.slab_sections_batch(
+                fg, v, m, ts_, an, W=W, rounds=rounds, method=method)
+        return run
+
+    # phase 1: prepare every dominant-axis group and dispatch its first
+    # rung WITHOUT any fetch — all batches of all groups go in flight
+    # back to back (roundtrips, not kernel math, dominate on the tunnel)
+    t0 = _time.perf_counter()
+    prepped = []
     for d in range(3):
         sel = np.flatnonzero((dom == d) & ~degenerate)
         if len(sel) == 0:
@@ -253,43 +279,52 @@ def cross_section_areas(
         # model, reference utility.py:221-229) and converge in the small
         # dilation window; fat or serpentine sections climb to directed
         # full-window SWEEP rungs (O(turns) rounds, xsslab._sweep_rounds),
-        # then the dense 3D flood as the last resort
-        def _slab_rung(W, rounds, method="dilate"):
-            def run(fg, v, m, ts_, an):
-                return xsslab.slab_sections_batch(
-                    fg, v, m, ts_, an, W=W, rounds=rounds, method=method)
-            return run
-
+        # then the dense 3D flood as the last resort. Crops within one
+        # sweep window collapse to a single always-converging rung.
         if max(pshape[0], pshape[1]) <= 128:
-            # the whole crop fits one sweep window: sections can never
-            # escape it, so the first rung converges for everything but
-            # extreme serpentines — each dropped rung saves a full
-            # dispatch+fetch roundtrip, the dominant cost on the
-            # tunneled backend
             rungs = [
                 _slab_rung(max(pshape[0], pshape[1]), 10, method="sweep"),
                 _dense_rung(192),
             ]
         else:
-            rungs = [_slab_rung(64, 96)]
-            rungs.append(_slab_rung(256, 4, method="sweep"))
-            rungs.append(_slab_rung(max(pshape[0], pshape[1]), 10,
-                                    method="sweep"))
-            rungs.append(_dense_rung(192))
+            rungs = [
+                _slab_rung(64, 96),
+                _slab_rung(256, 4, method="sweep"),
+                _slab_rung(max(pshape[0], pshape[1]), 10, method="sweep"),
+                _dense_rung(192),
+            ]
 
-        # quantize the batch to {64, 256}: the lane count is baked into the
-        # compiled program shape, and every fresh shape is a full remote
-        # compile on the tunneled backend (minutes each)
-        a, c = _run_batches(
-            rungs, fg_t, ts,
-            verts[sel][:, perm], normals[sel][:, perm],
-            tuple(float(anis[p]) for p in perm),
-            min(batch, 64 if len(sel) <= 64 else 256))
-        areas[sel] = a
+        # quantize the batch to {64, 256}: the lane count is baked into
+        # the compiled program shape, and every fresh shape is a full
+        # remote compile on the tunneled backend (minutes each)
+        bw = min(batch, 64 if len(sel) <= 64 else 256)
+        vperm = verts[sel][:, perm]
+        nperm = normals[sel][:, perm]
+        anis_p = tuple(float(anis[p]) for p in perm)
+        g_areas = np.zeros(len(sel), dtype=np.float32)
+        g_contacts = np.zeros(len(sel), dtype=np.uint8)
+        g_convs = np.zeros(len(sel), dtype=bool)
+        pend = _dispatch_sweep(rungs[0], fg_t, ts, vperm, nperm, anis_p,
+                               np.arange(len(sel)), bw)
+        prepped.append((sel, perm, fg_t, ts, vperm, nperm, anis_p, bw,
+                        rungs, pend, g_areas, g_contacts, g_convs))
+        profiling.count("xs_rung0_queries", len(sel))
+
+    # phase 2: land rung 0 for every group, then escalate stragglers
+    for (sel, perm, fg_t, ts, vperm, nperm, anis_p, bw, rungs, pend,
+         g_areas, g_contacts, g_convs) in prepped:
+        _land(pend, g_areas, g_contacts, g_convs)
+    profiling.count("xs_rung0_ms", int(1000 * (_time.perf_counter() - t0)))
+
+    for (sel, perm, fg_t, ts, vperm, nperm, anis_p, bw, rungs, pend,
+         g_areas, g_contacts, g_convs) in prepped:
+        _run_escalations(rungs[1:], fg_t, ts, vperm, nperm, anis_p, bw,
+                         g_areas, g_contacts, g_convs)
+        areas[sel] = g_areas
         # remap permuted-axis contact bit pairs back to original axes
-        cc = np.zeros_like(c)
+        cc = np.zeros_like(g_contacts)
         for j, p in enumerate(perm):
-            cc |= ((c >> (2 * j)) & 3) << (2 * p)
+            cc |= ((g_contacts >> (2 * j)) & 3) << (2 * p)
         contacts[sel] = cc
 
     degs = np.flatnonzero(degenerate)
@@ -297,14 +332,21 @@ def cross_section_areas(
         pshape = tuple(_bdim(int(s)) for s in shape)
         padded = np.zeros(pshape, dtype=bool)
         padded[: shape[0], : shape[1], : shape[2]] = binimg != 0
-        a, c = _run_batches(
-            [_dense_rung(r) for r in (8, 48, 192)],
-            jnp.asarray(padded),
-            jnp.asarray(np.array(shape, np.int32)),
-            verts[degs], normals[degs],
-            tuple(float(x) for x in anis), min(64, batch))
-        areas[degs] = a
-        contacts[degs] = c
+        fg_t = jnp.asarray(padded)
+        ts = jnp.asarray(np.array(shape, np.int32))
+        anis_t = tuple(float(x) for x in anis)
+        d_areas = np.zeros(len(degs), dtype=np.float32)
+        d_contacts = np.zeros(len(degs), dtype=np.uint8)
+        d_convs = np.zeros(len(degs), dtype=bool)
+        _land(_dispatch_sweep(_dense_rung(8), fg_t, ts, verts[degs],
+                              normals[degs], anis_t,
+                              np.arange(len(degs)), min(64, batch)),
+              d_areas, d_contacts, d_convs)
+        _run_escalations([_dense_rung(r) for r in (48, 192)], fg_t, ts,
+                         verts[degs], normals[degs], anis_t,
+                         min(64, batch), d_areas, d_contacts, d_convs)
+        areas[degs] = d_areas
+        contacts[degs] = d_contacts
 
     return areas, contacts
 
