@@ -148,8 +148,9 @@ def _dispatch_sweep(kernel, fg, true_shape, verts, normals, anisotropy,
     the cross-section wall time."""
     # escalation rungs usually carry a handful of stragglers: pad them
     # to the small quantized width instead of the full batch (the wide
-    # escalation kernels are the expensive ones)
-    bw = 64 if len(indices) <= 64 else batch
+    # escalation kernels are the expensive ones); `batch` stays a hard
+    # cap (the dense rung bounds it by crop bytes)
+    bw = min(batch, 64) if len(indices) <= 64 else batch
     pend = []
     for i in range(0, len(indices), bw):
         idx = indices[i: i + bw]
@@ -194,18 +195,25 @@ def _run_batches(kernels, fg, true_shape, verts, normals, anisotropy,
 
 def _run_escalations(kernels, fg, true_shape, verts, normals, anisotropy,
                      batch, areas, contacts, convs):
-    """Rungs past the first, run only on unconverged queries."""
+    """Rungs past the first, run only on unconverged queries. Entries of
+    `kernels` may be (kernel, batch_cap) pairs — the dense 3D rung
+    materializes a full crop per vmap lane, so its lane count must be
+    bounded by crop bytes or big neurite crops OOM the device."""
     import time as _time
 
     from ..utils import profiling
 
     for r, kernel in enumerate(kernels, start=1):
+        bw = batch
+        if isinstance(kernel, tuple):
+            kernel, cap = kernel
+            bw = max(4, min(batch, cap))
         bad = np.flatnonzero(~convs)
         if len(bad) == 0:
             break
         t0 = _time.perf_counter()
         _land(_dispatch_sweep(kernel, fg, true_shape, verts, normals,
-                              anisotropy, bad, batch),
+                              anisotropy, bad, bw),
               areas, contacts, convs)
         profiling.count(f"xs_rung{r}_queries", len(bad))
         profiling.count(f"xs_rung{r}_ms",
@@ -281,17 +289,21 @@ def cross_section_areas(
         # full-window SWEEP rungs (O(turns) rounds, xsslab._sweep_rounds),
         # then the dense 3D flood as the last resort. Crops within one
         # sweep window collapse to a single always-converging rung.
+        # power-of-two so the lane count (baked into the compiled program
+        # shape) stays on the small quantized menu
+        dense_cap = max(4, (1 << 30) // (8 * int(np.prod(pshape))))
+        dense_cap = 1 << (dense_cap.bit_length() - 1)
         if max(pshape[0], pshape[1]) <= 128:
             rungs = [
                 _slab_rung(max(pshape[0], pshape[1]), 10, method="sweep"),
-                _dense_rung(192),
+                (_dense_rung(192), dense_cap),
             ]
         else:
             rungs = [
                 _slab_rung(64, 96),
                 _slab_rung(256, 4, method="sweep"),
                 _slab_rung(max(pshape[0], pshape[1]), 10, method="sweep"),
-                _dense_rung(192),
+                (_dense_rung(192), dense_cap),
             ]
 
         # quantize the batch to {64, 256}: the lane count is baked into
