@@ -727,8 +727,12 @@ def compute_border_targets(cc_labels, anisotropy) -> Dict[int, np.ndarray]:
 
     stack_dev = _face_stack(jnp.asarray(cc_labels))
     cc_stack_dev = connected_components(stack_dev)
+    # fetch only the six face planes (even indices) — the separator rows
+    # are zeros, and O(surface) fetches keep the sharded driver's
+    # no-big-gather contract honest
     stack_np, cc_stack = (
-        np.asarray(a) for a in jax.device_get((stack_dev, cc_stack_dev))
+        np.asarray(a)
+        for a in jax.device_get((stack_dev[0::2], cc_stack_dev[0::2]))
     )
 
     # batched EDT per anisotropy pair: stacking along axis 0 with a huge
@@ -737,7 +741,7 @@ def compute_border_targets(cc_labels, anisotropy) -> Dict[int, np.ndarray]:
     dt_faces = [None] * 6
     for pair in ((0, 1), (2, 3), (4, 5)):
         idx = [2 * i for i in pair]
-        if not cc_stack[idx].any():
+        if not cc_stack[list(pair)].any():
             continue
         dims = face_meta[pair[0]][1]
         wx = float(anisotropy[dims[0]])
@@ -753,10 +757,10 @@ def compute_border_targets(cc_labels, anisotropy) -> Dict[int, np.ndarray]:
         if dt_faces[face_i] is None:
             continue
         wx, wy = float(anisotropy[dims[0]]), float(anisotropy[dims[1]])
-        plane = stack_np[2 * face_i, : fshape[0], : fshape[1]]
+        plane = stack_np[face_i, : fshape[0], : fshape[1]]
         if not plane.any():
             continue
-        cc_raw = cc_stack[2 * face_i, : fshape[0], : fshape[1]]
+        cc_raw = cc_stack[face_i, : fshape[0], : fshape[1]]
         # compact to 1..N preserving background = 0
         uniq, inv = np.unique(cc_raw, return_inverse=True)
         has_bg = len(uniq) > 0 and uniq[0] == 0
