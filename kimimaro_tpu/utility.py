@@ -60,7 +60,15 @@ def compute_cc_labels(all_labels, voxel_graph=None) -> Tuple[np.ndarray, Dict[in
 
 def find_objects(labels) -> List[Optional[tuple]]:
     """Per-label bounding-box slices, indexed by label-1
-    (reference utility.py:85-102)."""
+    (reference utility.py:85-102).
+
+    The reference's F-order transpose trick (utility.py:86-90, 7-8x) makes
+    scipy scan memory-contiguously for the Fortran-ordered arrays its
+    pipeline carries; this pipeline carries C-ordered arrays, for which
+    the plain call already scans contiguously, so the trick is moot —
+    `ascontiguousarray` covers the remaining non-contiguous inputs. The
+    hot paths avoid this function entirely (native.bbox_ids single pass /
+    the label_info device sort)."""
     labels = np.ascontiguousarray(labels)
     return scipy.ndimage.find_objects(labels)
 

@@ -46,10 +46,33 @@ def enabled() -> bool:
     return os.environ.get("KIMIMARO_TPU_PROGCACHE", "0") not in ("", "0")
 
 
+def _code_fingerprint(src: str) -> bytes:
+    """AST dump with docstrings stripped: comment- and docstring-only
+    edits keep the fingerprint stable (a full re-export of every program
+    for a typo fix costs ~10 minutes of suite time)."""
+    import ast
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return src.encode()
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(body, list) and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+    return ast.dump(tree).encode()
+
+
 def _source_hash() -> str:
-    """Hash of every .py file in the package + the jax version: any source
-    change invalidates all exported programs (they bake in the traced
-    logic, so a stale hit would silently run old code)."""
+    """Hash of every .py file's code (comments/docstrings excluded) in the
+    package + the jax version: any code change invalidates all exported
+    programs (they bake in the traced logic, so a stale hit would
+    silently run old code)."""
     global _src_hash
     if _src_hash is None:
         import jax
@@ -62,8 +85,8 @@ def _source_hash() -> str:
                 if f.endswith(".py"):
                     p = os.path.join(root, f)
                     h.update(p.encode())
-                    with open(p, "rb") as fh:
-                        h.update(fh.read())
+                    with open(p, "r", errors="replace") as fh:
+                        h.update(_code_fingerprint(fh.read()))
         h.update(jax.__version__.encode())
         _src_hash = h.hexdigest()[:16]
     return _src_hash

@@ -73,3 +73,13 @@ def test_prune_bounds_directory(cache_dir, monkeypatch):
         os.utime(cache_dir / f"old{i}.bin", (1000 + i, 1000 + i))
     progcache._prune()
     assert len(list(cache_dir.iterdir())) <= 4
+
+
+def test_fingerprint_ignores_comments_and_docstrings():
+    a = progcache._code_fingerprint(
+        'def f(x):\n    """doc A"""\n    # comment\n    return x + 1\n')
+    b = progcache._code_fingerprint(
+        'def f(x):\n    """doc B, reworded"""\n    return x + 1  # note\n')
+    c = progcache._code_fingerprint('def f(x):\n    return x + 2\n')
+    assert a == b
+    assert a != c
