@@ -17,11 +17,20 @@ Prints ONE JSON line:
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_LABELS_PER_SEC = 2124.0 / 94.0  # M3, kimimaro 5.4.0
+
+_T0 = time.perf_counter()
+
+
+def note(msg: str) -> None:
+    """Stage progress on stderr (the JSON contract owns stdout)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 _LAST_SUCCESS = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
@@ -305,8 +314,11 @@ def main():
 
     # first run includes compilation (persisted to .jax_cache); the second
     # measures steady-state throughput
-    run()
+    note(f"dense warm run starting ({source})")
+    _, warm_elapsed, _ = run()
+    note(f"dense warm run done in {warm_elapsed:.1f}s; timed run starting")
     skels, elapsed, stats = run()
+    note(f"dense timed run done in {elapsed:.1f}s")
 
     n_labels = len(skels)
     labels_per_sec = n_labels / elapsed if elapsed > 0 else 0.0
@@ -318,11 +330,15 @@ def main():
     neurite = {}
     if os.environ.get("BENCH_NEURITE", "1") != "0":
         try:
+            note("neurite volume generating/loading")
             nlabels_vol = synthetic_volume_neurite(n)
             labels_save = labels
             labels = nlabels_vol
-            _, _, _ = run()
+            note("neurite warm run starting")
+            _, nwarm, _ = run()
+            note(f"neurite warm run done in {nwarm:.1f}s; timed run starting")
             nskels, nelapsed, nstats = run()
+            note(f"neurite timed run done in {nelapsed:.1f}s")
             labels = labels_save
             neurite = {
                 "neurite_n_labels": len(nskels),
@@ -343,6 +359,7 @@ def main():
     xs_ms_per_vertex = None
     profiling.reset_stats()
     profiling.collect(True)
+    note("cross-section stage starting")
     try:
         mid = sorted(skels.values(), key=lambda s: abs(len(s) - 800))[0]
         # first run compiles (persisted to .jax_cache); the second
@@ -377,9 +394,8 @@ def main():
     gc.collect()
 
     parity_pct = None
+    note("parity stage starting")
     try:
-        import sys
-
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "tests"))
         import importlib
