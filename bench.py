@@ -13,10 +13,19 @@ Baseline: Apple M3, kimimaro 5.4.0 — 512^3 / 2124 labels in 94 s
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "labels/s", "vs_baseline": N}
+
+Budget discipline: the driver runs this under a hard timeout. The primary
+(dense) record is flushed to disk the moment it exists; every optional
+stage (cross sections, neurite workload, parity) first checks the
+remaining wall budget (BENCH_BUDGET_S, default 540 s) and records an
+explicit skipped-marker instead of overrunning; SIGTERM/SIGINT print the
+record-so-far on stdout before dying so even a timeout yields a parseable
+result.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -25,17 +34,91 @@ import numpy as np
 BASELINE_LABELS_PER_SEC = 2124.0 / 94.0  # M3, kimimaro 5.4.0
 
 _T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+
+
+def elapsed_total() -> float:
+    return time.perf_counter() - _T0
+
+
+def remaining() -> float:
+    return BUDGET_S - elapsed_total()
 
 
 def note(msg: str) -> None:
     """Stage progress on stderr (the JSON contract owns stdout)."""
-    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+    print(f"[bench +{elapsed_total():7.1f}s] {msg}",
           file=sys.stderr, flush=True)
 
-_LAST_SUCCESS = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    ".bench_cache", "last_success.json",
-)
+
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+_LAST_SUCCESS = os.path.join(_CACHE_DIR, "last_success.json")
+_PARTIAL = os.path.join(_CACHE_DIR, "partial.json")
+
+# the single JSON record, built incrementally; emitted exactly once
+_RECORD = None
+_EMITTED = False
+
+
+def _emit() -> None:
+    global _EMITTED
+    if _RECORD is None or _EMITTED:
+        return
+    _EMITTED = True
+    print(json.dumps(_RECORD), flush=True)
+
+
+def _flush_partial() -> None:
+    """Persist the record-so-far after every stage (survives SIGKILL)."""
+    if _RECORD is None:
+        return
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        with open(_PARTIAL, "w") as fh:
+            json.dump(_RECORD, fh)
+    except OSError:
+        pass
+
+
+def _persist_success() -> None:
+    """Record the measurement with provenance (only for real-volume TPU
+    runs) so later rounds can cite it even if a future run fails."""
+    if _RECORD is None:
+        return
+    try:
+        import datetime
+        import subprocess
+
+        rec = dict(_RECORD)
+        rec["recorded_utc"] = datetime.datetime.now(
+            datetime.timezone.utc).isoformat()
+        rec["commit"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        with open(_LAST_SUCCESS, "w") as fh:
+            json.dump(rec, fh)
+    except Exception:
+        pass
+
+
+def _on_signal(signum, frame):
+    if _RECORD is not None:
+        _RECORD["truncated"] = (
+            f"signal {signum} at +{elapsed_total():.0f}s (budget "
+            f"{BUDGET_S:.0f}s) — record is complete through the last "
+            f"finished stage")
+        _flush_partial()
+        _emit()
+        os._exit(0)
+    os._exit(128 + signum)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
 
 
 def _backend_name():
@@ -68,10 +151,7 @@ def synthetic_volume_dense(n: int, seed: int = 0):
     instead). Host-generated via KD-tree nearest seed (elongated
     anisotropically so labels are neurite-like) and cached on disk —
     the volume is benchmark INPUT, not part of the measured pipeline."""
-    cache = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".bench_cache", f"dense_{n}_{seed}.npy",
-    )
+    cache = os.path.join(_CACHE_DIR, f"dense_{n}_{seed}.npy")
     if os.path.exists(cache):
         return np.load(cache)
 
@@ -109,11 +189,9 @@ def synthetic_volume_neurite(n: int, seed: int = 0):
     (~2124 at 512^3). Tubes are stamped first-writer-wins, so crossings
     can split a later tube — exactly the high-component-count morphology
     the real data has. Host-generated, cached on disk (benchmark INPUT,
-    not measured)."""
-    cache = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".bench_cache", f"neurite_{n}_{seed}.npy",
-    )
+    not measured). Walks are vectorized across tubes so a cold cache
+    costs seconds, not minutes."""
+    cache = os.path.join(_CACHE_DIR, f"neurite_{n}_{seed}.npy")
     if os.path.exists(cache):
         return np.load(cache)
 
@@ -137,41 +215,60 @@ def synthetic_volume_neurite(n: int, seed: int = 0):
                 [ox[keep], oy[keep], oz[keep]], axis=-1).astype(np.int64)
         return ball_cache[r]
 
-    def walk(start, direction, length, radius):
-        """Centerline of a persistent random walk (unit physical speed)."""
-        pts = np.empty((length, 3), dtype=np.float32)
-        pos = start.astype(np.float32)
-        d = direction / max(np.linalg.norm(direction), 1e-6)
+    def walks(starts, dirs, length):
+        """Centerlines of B persistent random walks advanced in lock-step
+        (unit physical speed): (B, length, 3) float32. Matches the scalar
+        walk up to the rng stream (one batched randn per step)."""
+        B = starts.shape[0]
+        pts = np.empty((B, length, 3), dtype=np.float32)
+        pos = starts.astype(np.float32).copy()
+        d = dirs / np.maximum(
+            np.linalg.norm(dirs, axis=1, keepdims=True), 1e-6)
+        step = 2.0 / (aniso / aniso[0])
         for i in range(length):
-            pts[i] = pos
-            d = d + rng.randn(3) * 0.18
-            d /= max(np.linalg.norm(d), 1e-6)
-            pos = pos + d * (2.0 / (aniso / aniso[0]))
-            pos = np.clip(pos, 0, n - 1)
+            pts[:, i] = pos
+            d = d + rng.randn(B, 3).astype(np.float32) * 0.18
+            d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-6)
+            pos = np.clip(pos + d * step, 0, n - 1)
         return pts
 
-    label = 0
-    for _ in range(n_tubes):
-        label += 1
-        start = rng.randint(0, n, size=3)
-        d0 = rng.randn(3)
-        length = rng.randint(40, 220)
-        radius = rng.uniform(1.8, 4.0)
-        pts = [walk(start, d0, length, radius)]
-        # 0-2 branches off random points of the trunk
-        for _ in range(rng.randint(0, 3)):
-            trunk = pts[0]
-            bi = rng.randint(len(trunk))
-            pts.append(walk(trunk[bi], rng.randn(3),
-                            rng.randint(20, 120), radius))
+    # trunk parameters for every tube, then walk them all together in
+    # length-sorted batches (equal-length walks share one lock-step loop)
+    lengths = rng.randint(40, 220, size=n_tubes)
+    starts = rng.randint(0, n, size=(n_tubes, 3))
+    dirs = rng.randn(n_tubes, 3).astype(np.float32)
+    radii = rng.uniform(1.8, 4.0, size=n_tubes)
+    n_branches = rng.randint(0, 3, size=n_tubes)
+
+    order = np.argsort(lengths, kind="stable")
+    trunk = [None] * n_tubes
+    i = 0
+    while i < len(order):
+        L = int(lengths[order[i]])
+        j = i
+        while j < len(order) and int(lengths[order[j]]) == L:
+            j += 1
+        idx = order[i:j]
+        pts = walks(starts[idx], dirs[idx], L)
+        for k, t in enumerate(idx):
+            trunk[t] = pts[k]
+        i = j
+
+    tgt = vol.reshape(-1)
+    for t in range(n_tubes):
+        label = t + 1
+        pts = [trunk[t]]
+        for _ in range(int(n_branches[t])):
+            bi = rng.randint(len(trunk[t]))
+            bl = int(rng.randint(20, 120))
+            pts.append(walks(trunk[t][bi][None], rng.randn(1, 3), bl)[0])
         centers = np.concatenate(pts, axis=0)
-        offs = ball_offsets(radius)
+        offs = ball_offsets(radii[t])
         vox = (centers[:, None, :].astype(np.int64) + offs[None, :, :])
         vox = vox.reshape(-1, 3)
         np.clip(vox, 0, n - 1, out=vox)
         flat = (vox[:, 0] * n + vox[:, 1]) * n + vox[:, 2]
         flat = np.unique(flat)
-        tgt = vol.reshape(-1)
         empty = flat[tgt[flat] == 0]
         tgt[empty] = label
         # ~2% of tubes get a soma ball (thick region -> soma code path)
@@ -225,6 +322,8 @@ def synthetic_volume(n: int, mean_label_voxels: int = 63000, seed: int = 0):
 
 
 def main():
+    global _RECORD
+
     import threading
 
     import jax
@@ -312,145 +411,188 @@ def main():
         profiling.collect(False)
         return skels, elapsed, profiling.get_stats()
 
+    # ---------------- primary stage: dense 512^3 ----------------
     # first run includes compilation (persisted to .jax_cache); the second
     # measures steady-state throughput
-    note(f"dense warm run starting ({source})")
-    _, warm_elapsed, _ = run()
+    note(f"dense warm run starting ({source}, budget {BUDGET_S:.0f}s)")
+    wskels, warm_elapsed, wstats = run()
     note(f"dense warm run done in {warm_elapsed:.1f}s; timed run starting")
+    # a cold .jax_cache makes the warm run compile-dominated (~14 min at
+    # 512^3); land a degraded compile-inclusive record NOW so a timeout
+    # during the timed run still yields a result
+    _RECORD = {
+        "metric": (f"skeletonize {source} ({len(wskels)} labels) "
+                   f"labels/sec (WARM RUN ONLY — compile-inclusive)"),
+        "value": round(len(wskels) / warm_elapsed, 3),
+        "unit": "labels/s",
+        "vs_baseline": round(
+            len(wskels) / warm_elapsed / BASELINE_LABELS_PER_SEC, 3),
+        "warm_seconds_per_volume": round(warm_elapsed, 3),
+        "n_labels": len(wskels),
+        "phases_warm": {k: round(v, 3) for k, v in wstats["phases"].items()},
+        "backend": _backend_name(),
+        "budget_s": BUDGET_S,
+    }
+    _flush_partial()
+    del wskels, wstats
     skels, elapsed, stats = run()
     note(f"dense timed run done in {elapsed:.1f}s")
 
     n_labels = len(skels)
     labels_per_sec = n_labels / elapsed if elapsed > 0 else 0.0
-    phases = {k: round(v, 3) for k, v in stats["phases"].items()}
 
-    # second workload: neurite MORPHOLOGY (winding branched tubes, VERDICT
-    # r2 missing #1) — same volume shape, so the compiled programs are
-    # shared with the dense run; one warm run is enough
-    neurite = {}
-    if os.environ.get("BENCH_NEURITE", "1") != "0":
-        try:
-            note("neurite volume generating/loading")
-            nlabels_vol = synthetic_volume_neurite(n)
-            labels_save = labels
-            labels = nlabels_vol
-            note("neurite warm run starting")
-            _, nwarm, _ = run()
-            note(f"neurite warm run done in {nwarm:.1f}s; timed run starting")
-            nskels, nelapsed, nstats = run()
-            note(f"neurite timed run done in {nelapsed:.1f}s")
-            labels = labels_save
-            neurite = {
-                "neurite_n_labels": len(nskels),
-                "neurite_seconds_per_volume": round(nelapsed, 3),
-                "neurite_labels_per_sec": round(
-                    len(nskels) / nelapsed if nelapsed > 0 else 0.0, 3),
-                "neurite_phases": {k: round(v, 3)
-                                   for k, v in nstats["phases"].items()},
-                "neurite_counters": nstats["counters"],
-            }
-        except Exception as e:
-            neurite = {
-                "neurite_error": f"{type(e).__name__}: {e}"[:300],
-            }
-
-    # cross-section throughput on a representative skeleton (reference
-    # baseline: ~2.5 ms/vertex on Apple M3, utility.py:226-229)
-    xs_ms_per_vertex = None
-    profiling.reset_stats()
-    profiling.collect(True)
-    note("cross-section stage starting")
-    try:
-        mid = sorted(skels.values(), key=lambda s: abs(len(s) - 800))[0]
-        # first run compiles (persisted to .jax_cache); the second
-        # measures steady-state, same convention as the skeletonize runs
-        kimimaro_tpu.cross_sectional_area(
-            labels, {mid.id: mid.clone()}, anisotropy=(16, 16, 40),
-            progress=False,
-        )
-        t0 = time.perf_counter()
-        kimimaro_tpu.cross_sectional_area(
-            labels, {mid.id: mid}, anisotropy=(16, 16, 40), progress=False
-        )
-        dt = time.perf_counter() - t0
-        if len(mid.vertices):
-            xs_ms_per_vertex = round(1000.0 * dt / len(mid.vertices), 4)
-    except Exception as e:
-        xs_ms_per_vertex = f"error: {type(e).__name__}: {e}"[:300]
-    xs_counters = profiling.get_stats()["counters"]
-    profiling.collect(False)
-
-    # oracle parity measured THROUGH the live backend (VERDICT r2 item 6:
-    # the >=99% parity suite runs on CPU in CI; this re-runs the same five
-    # oracle volumes through the real engine on the benchmark's backend)
-    # — first drop every 512^3 device buffer and compiled program so the
-    # parity volumes' compiles don't hit RESOURCE_EXHAUSTED on HBM
-    import gc
-
-    labels = None
-    mid = None
-    skels = None
-    jax.clear_caches()
-    gc.collect()
-
-    parity_pct = None
-    note("parity stage starting")
-    try:
-        sys.path.insert(0, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "tests"))
-        import importlib
-
-        tsp = importlib.import_module("test_swc_parity")
-        from oracle_teasar import oracle_teasar, vertex_parity
-
-        parities = []
-        for name, vol in tsp._volumes().items():
-            got = tsp._run_pipeline(vol)
-            oracle_v, _ = oracle_teasar(
-                vol, anisotropy=(1, 1, 1), black_border=False,
-                scale=tsp.PARAMS["scale"], const=tsp.PARAMS["const"],
-                pdrf_scale=tsp.PARAMS["pdrf_scale"],
-                pdrf_exponent=tsp.PARAMS["pdrf_exponent"],
-            )
-            parities.append(vertex_parity(got, oracle_v, tol_voxels=1.0))
-        parity_pct = round(100.0 * min(parities), 2)
-    except Exception as e:
-        parity_pct = f"error: {type(e).__name__}: {e}"
-
-    out = {
+    # the primary record exists NOW — flush it before any optional stage
+    # so a later overrun can never erase it (r3 lost its record this way)
+    _RECORD = {
         "metric": f"skeletonize {source} ({n_labels} labels) labels/sec",
         "value": round(labels_per_sec, 3),
         "unit": "labels/s",
         "vs_baseline": round(labels_per_sec / BASELINE_LABELS_PER_SEC, 3),
         "seconds_per_volume": round(elapsed, 3),
+        "warm_seconds_per_volume": round(warm_elapsed, 3),
         "north_star_seconds": 10.0,
         "n_labels": n_labels,
-        "phases": phases,
+        "phases": {k: round(v, 3) for k, v in stats["phases"].items()},
         "counters": stats["counters"],
-        "xs_ms_per_vertex": xs_ms_per_vertex,
-        "xs_counters": xs_counters,
-        "parity_pct_min": parity_pct,
         "backend": _backend_name(),
+        "budget_s": BUDGET_S,
     }
-    out.update(neurite)
+    _flush_partial()
     if _backend_name() in ("tpu", "axon") and n >= 512:
-        try:
-            import datetime
-            import subprocess
+        _persist_success()
 
-            rec = dict(out)
-            rec["recorded_utc"] = datetime.datetime.utcnow().isoformat()
-            rec["commit"] = subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                capture_output=True, text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            ).stdout.strip()
-            os.makedirs(os.path.dirname(_LAST_SUCCESS), exist_ok=True)
-            with open(_LAST_SUCCESS, "w") as fh:
-                json.dump(rec, fh)
-        except Exception:
-            pass
-    print(json.dumps(out))
+    # ---------------- optional stage: cross sections ----------------
+    # throughput on a representative skeleton (reference baseline:
+    # ~2.5 ms/vertex on Apple M3, utility.py:226-229)
+    XS_EST_S = 100.0
+    if os.environ.get("BENCH_XS", "1") == "0":
+        _RECORD["xs_skipped"] = "BENCH_XS=0"
+    elif remaining() < XS_EST_S:
+        _RECORD["xs_skipped"] = (
+            f"budget: {remaining():.0f}s left < {XS_EST_S:.0f}s estimate")
+    else:
+        note("cross-section stage starting")
+        profiling.reset_stats()
+        profiling.collect(True)
+        try:
+            mid = sorted(skels.values(), key=lambda s: abs(len(s) - 800))[0]
+            # first run compiles (persisted to .jax_cache); the second
+            # measures steady-state, same convention as the skeletonize runs
+            kimimaro_tpu.cross_sectional_area(
+                labels, {mid.id: mid.clone()}, anisotropy=(16, 16, 40),
+                progress=False,
+            )
+            t0 = time.perf_counter()
+            kimimaro_tpu.cross_sectional_area(
+                labels, {mid.id: mid}, anisotropy=(16, 16, 40),
+                progress=False,
+            )
+            dt = time.perf_counter() - t0
+            if len(mid.vertices):
+                _RECORD["xs_ms_per_vertex"] = round(
+                    1000.0 * dt / len(mid.vertices), 4)
+                _RECORD["xs_n_vertices"] = len(mid.vertices)
+        except Exception as e:
+            _RECORD["xs_ms_per_vertex"] = (
+                f"error: {type(e).__name__}: {e}"[:300])
+        _RECORD["xs_counters"] = profiling.get_stats()["counters"]
+        profiling.collect(False)
+        note("cross-section stage done")
+        _flush_partial()
+
+    # ---------------- optional stage: neurite morphology ----------------
+    # winding branched tubes (VERDICT r2 missing #1) — same volume shape
+    # and quantized engine shapes, so compiled programs are shared with
+    # the dense run; one warm + one timed run
+    NEURITE_EST_S = 60.0 + 2.2 * elapsed
+    if os.environ.get("BENCH_NEURITE", "1") == "0":
+        _RECORD["neurite_skipped"] = "BENCH_NEURITE=0"
+    elif remaining() < NEURITE_EST_S:
+        _RECORD["neurite_skipped"] = (
+            f"budget: {remaining():.0f}s left < {NEURITE_EST_S:.0f}s "
+            f"estimate")
+    else:
+        try:
+            note("neurite volume generating/loading")
+            labels = synthetic_volume_neurite(n)
+            note("neurite warm run starting")
+            _, nwarm, _ = run()
+            note(f"neurite warm run done in {nwarm:.1f}s; timed run "
+                 f"starting")
+            nskels, nelapsed, nstats = run()
+            note(f"neurite timed run done in {nelapsed:.1f}s")
+            _RECORD.update({
+                "neurite_n_labels": len(nskels),
+                "neurite_seconds_per_volume": round(nelapsed, 3),
+                "neurite_warm_seconds_per_volume": round(nwarm, 3),
+                "neurite_labels_per_sec": round(
+                    len(nskels) / nelapsed if nelapsed > 0 else 0.0, 3),
+                "neurite_phases": {k: round(v, 3)
+                                   for k, v in nstats["phases"].items()},
+                "neurite_counters": nstats["counters"],
+            })
+            del nskels
+        except Exception as e:
+            _RECORD["neurite_error"] = f"{type(e).__name__}: {e}"[:300]
+        _flush_partial()
+
+    # ---------------- optional stage: oracle parity ----------------
+    # measured THROUGH the live backend (VERDICT r2 item 6: the >=99%
+    # parity suite runs on CPU in CI; this re-runs the same oracle volumes
+    # through the real engine on the benchmark's backend) — first drop
+    # every 512^3 device buffer and compiled program so the parity
+    # volumes' compiles don't hit RESOURCE_EXHAUSTED on HBM
+    PARITY_EST_S = 120.0
+    if os.environ.get("BENCH_PARITY", "1") == "0":
+        _RECORD["parity_skipped"] = "BENCH_PARITY=0"
+    elif remaining() < PARITY_EST_S:
+        _RECORD["parity_skipped"] = (
+            f"budget: {remaining():.0f}s left < {PARITY_EST_S:.0f}s "
+            f"estimate")
+    else:
+        import gc
+
+        labels = None
+        skels = None
+        jax.clear_caches()
+        gc.collect()
+
+        note("parity stage starting")
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tests"))
+            import importlib
+
+            tsp = importlib.import_module("test_swc_parity")
+            from oracle_teasar import oracle_teasar, vertex_parity
+
+            parities = []
+            for name, vol in tsp._volumes().items():
+                if remaining() < 30.0:
+                    _RECORD["parity_note"] = (
+                        f"budget: stopped after {len(parities)} volumes")
+                    break
+                got = tsp._run_pipeline(vol)
+                oracle_v, _ = oracle_teasar(
+                    vol, anisotropy=(1, 1, 1), black_border=False,
+                    scale=tsp.PARAMS["scale"], const=tsp.PARAMS["const"],
+                    pdrf_scale=tsp.PARAMS["pdrf_scale"],
+                    pdrf_exponent=tsp.PARAMS["pdrf_exponent"],
+                )
+                parities.append(vertex_parity(got, oracle_v, tol_voxels=1.0))
+            if parities:
+                _RECORD["parity_pct_min"] = round(100.0 * min(parities), 2)
+                _RECORD["parity_n_volumes"] = len(parities)
+        except Exception as e:
+            _RECORD["parity_pct_min"] = f"error: {type(e).__name__}: {e}"
+        note("parity stage done")
+        _flush_partial()
+
+    _RECORD["total_bench_seconds"] = round(elapsed_total(), 1)
+    _flush_partial()
+    if _backend_name() in ("tpu", "axon") and n >= 512:
+        _persist_success()
+    _emit()
 
 
 if __name__ == "__main__":

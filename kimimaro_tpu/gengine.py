@@ -57,9 +57,14 @@ T_CAP = 16     # manual-target slots per label (same cap as the crop engine)
 K_ITER = 24    # lock-step path iterations (p90 over the dense workload: 5)
 EXTRA_ROUND_STAGES = 3  # warm +rounds continuations before giving up
 
-# default gather-crop ceiling; the actual crop adapts to the workload's
-# bbox distribution (see _pick_crop) but never exceeds this
-G_CROP_MAX = (256, 256, 256)
+# Fixed gather-crop menu (per-axis extents, clamped to the volume). Every
+# compile shape in this engine derives from (volume shape, this menu,
+# power-of-two lane buckets) — NEVER from the workload's bbox percentiles:
+# a new bbox distribution used to mean minutes of fresh XLA compiles at
+# 512^3 (the r3 bench died recompiling for the second workload). Labels
+# land in the smallest tier whose crop holds their bbox; larger bboxes
+# ride the crop engine.
+G_CROP_MENU = (16, 32, 64, 128, 256)
 
 
 def _pow2_at_least(n: int) -> int:
@@ -69,19 +74,24 @@ def _pow2_at_least(n: int) -> int:
     return b
 
 
-def _pick_crop(jobs, vol_shape) -> Tuple[int, int, int]:
-    """Fixed gather-crop shape: per-axis 95th-percentile bbox extent
-    rounded up to a power of two (one compiled program covers ~all labels;
-    outliers fall back to the crop engine)."""
-    if not jobs:
-        return tuple(min(16, int(v)) for v in vol_shape)
-    dims = np.array([j["shape"] for j in jobs], dtype=np.int64)
-    p95 = np.percentile(dims, 95, axis=0)
-    crop = []
-    for a in range(3):
-        c = _pow2_at_least(int(np.ceil(p95[a])))
-        crop.append(int(min(c, G_CROP_MAX[a], int(vol_shape[a]))))
-    return tuple(crop)
+def _tier_crops(vol_shape) -> List[Tuple[int, int, int]]:
+    """The gather-crop tiers for this volume: menu entries clamped
+    per-axis, deduplicated (small volumes collapse to fewer tiers)."""
+    crops: List[Tuple[int, int, int]] = []
+    for m in G_CROP_MENU:
+        c = tuple(int(min(m, int(s))) for s in vol_shape)
+        if not crops or c != crops[-1]:
+            crops.append(c)
+    return crops
+
+
+def _lane_bucket(n: int) -> int:
+    """Lane counts quantize to powers of two (min 4) so group shapes are
+    shared across workloads with similar label populations; empty tiers
+    keep a 4-lane stub so the group STRUCTURE never changes."""
+    if n <= 4:
+        return 4
+    return 1 << (n - 1).bit_length()
 
 
 # --------------------------------------------------------------------------- #
@@ -136,9 +146,9 @@ def _unflatten_crop(idx, offs, crop):
 def _grouped_argmax(packed, cc16, offs, lids, groups):
     """Per-label argmax with per-GROUP gather crops: labels are pre-sorted
     so each static (start, stop, crop) group slices its own rows. One
-    oversized p95 crop made every label pay the biggest label's gather
-    cost (8-16x waste on long-bbox neurite workloads); two tiers bound it.
-    Returns (coords (N, 3) global, values (N,))."""
+    oversized shared crop made every label pay the biggest label's gather
+    cost (8-16x waste on long-bbox neurite workloads); the fixed-menu
+    tiers bound it. Returns (coords (N, 3) global, values (N,))."""
     coords, vals = [], []
     for (a, b, crop) in groups:
         idx, val = _crop_argmax(packed, cc16, offs[a:b], lids[a:b], crop)
@@ -286,10 +296,13 @@ def _nc_reduce(mask, cc16, offs, lids, groups):
 
 
 @functools.partial(jax.jit, static_argnames=("anisotropy", "rounds"))
-def _probe_phase(cc_x, cc_y, cc_z, firstvox, anisotropy, rounds):
+def _probe_phase(cc_x, cc_y, cc_z, firstvox, live, anisotropy, rounds):
     cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
     d0 = jnp.full(cc_x.shape, INF, dtype=jnp.float32)
-    d0 = d0.at[firstvox[:, 0], firstvox[:, 1], firstvox[:, 2]].set(0.0)
+    # scatter-min with +inf on dead (padding) lanes: a plain set() would
+    # plant a spurious zero source at (0,0,0) inside a real label
+    src = jnp.where(live, 0.0, INF).astype(jnp.float32)
+    d0 = d0.at[firstvox[:, 0], firstvox[:, 1], firstvox[:, 2]].min(src)
     d, mask = gsweep.relax_full(d0, cc_v, None, None, anisotropy, rounds,
                                 mode="euclid", return_mask=True)
     return d, mask, jnp.sum(mask, dtype=jnp.int32)
@@ -310,7 +323,7 @@ def _relax_cont(d, cc_x, cc_y, cc_z, nodecost, anisotropy, rounds, mode):
 @functools.partial(jax.jit, static_argnames=("groups", "anisotropy",
                                               "rounds"))
 def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
-                    roots_in, has_root, groups, anisotropy, rounds):
+                    roots_in, has_root, live, groups, anisotropy, rounds):
     """auto roots from the probe field, then the DAF relaxation
     (reference trace.py:121-148)."""
     cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
@@ -319,7 +332,8 @@ def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
     roots = jnp.where(has_root[:, None], roots_in, auto_root)
 
     d0 = jnp.full(probe.shape, INF, dtype=jnp.float32)
-    d0 = d0.at[roots[:, 0], roots[:, 1], roots[:, 2]].set(0.0)
+    src = jnp.where(live, 0.0, INF).astype(jnp.float32)
+    d0 = d0.at[roots[:, 0], roots[:, 1], roots[:, 2]].min(src)
     daf, mask = gsweep.relax_full(d0, cc_v, None, None, anisotropy, rounds,
                                   mode="euclid", return_mask=True)
     return roots, daf, mask, jnp.sum(mask, dtype=jnp.int32)
@@ -328,7 +342,7 @@ def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
 @functools.partial(jax.jit, static_argnames=(
     "groups", "anisotropy", "rounds", "pdrf_exponent"))
 def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
-                     roots, pdrf_scale, groups, anisotropy, rounds,
+                     roots, live, pdrf_scale, groups, anisotropy, rounds,
                      pdrf_exponent):
     """PDRF from the DBF + DAF (reference trace.py:315-356, exact crop
     engine formula engine._one_label) and the initial rail field."""
@@ -356,10 +370,13 @@ def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
         p = jnp.power(p, e)
     pdrf = p * pdrf_scale + daf * imd_vol
     pdrf = jnp.where(fg, pdrf, INF).astype(jnp.float32)
-    pdrf = pdrf.at[roots[:, 0], roots[:, 1], roots[:, 2]].set(0.0)
+    # PDRF is non-negative, so a scatter-min with 0 on live lanes (inf on
+    # dead padding lanes) equals the reference's root-zeroing exactly
+    src = jnp.where(live, 0.0, INF).astype(jnp.float32)
+    pdrf = pdrf.at[roots[:, 0], roots[:, 1], roots[:, 2]].min(src)
 
     d0 = jnp.full(dbf.shape, INF, dtype=jnp.float32)
-    d0 = d0.at[roots[:, 0], roots[:, 1], roots[:, 2]].set(0.0)
+    d0 = d0.at[roots[:, 0], roots[:, 1], roots[:, 2]].min(src)
     nc_v = gsweep.MaskViews(pdrf)
     d_rail, mask = gsweep.relax_full(d0, cc_v, nc_v, None, anisotropy,
                                      rounds, mode="node", return_mask=True)
@@ -520,11 +537,12 @@ def trace_global(
         else:
             eligible.append(job)
 
-    crop = _pick_crop(eligible, vol_shape)
+    tiers = _tier_crops(vol_shape)
+    crop_max = tiers[-1]
     fits = [j for j in eligible
-            if all(int(s) <= c for s, c in zip(j["shape"], crop))]
+            if all(int(s) <= c for s, c in zip(j["shape"], crop_max))]
     refit = [j for j in eligible
-             if not all(int(s) <= c for s, c in zip(j["shape"], crop))]
+             if not all(int(s) <= c for s, c in zip(j["shape"], crop_max))]
     leftover.extend(refit)
     eligible = fits
 
@@ -532,30 +550,35 @@ def trace_global(
         # the global fixed cost only pays for itself across many labels
         return {}, leftover + eligible
 
-    # two-tier gather crops: a p50 crop for the small majority, the p95
-    # crop for the rest — one shared big crop made every per-label argmax
-    # pay the longest bbox's gather cost (8-16x waste on neurite-like
-    # bbox distributions). Labels sort small-group-first so each group is
-    # one contiguous row range (static slices inside the jitted phases).
-    dims = np.array([j["shape"] for j in eligible], dtype=np.int64)
-    p50 = np.percentile(dims, 50, axis=0)
-    crop_small = tuple(
-        int(min(_pow2_at_least(int(np.ceil(p50[a]))), crop[a]))
-        for a in range(3)
-    )
-    small = [j for j in eligible
-             if all(int(d) <= c for d, c in zip(j["shape"], crop_small))]
-    big = [j for j in eligible
-           if not all(int(d) <= c for d, c in zip(j["shape"], crop_small))]
-    if crop_small == crop or len(small) < 32 or len(big) < 32:
-        groups = ((0, len(eligible), crop),)
-    else:
-        eligible = small + big
-        groups = ((0, len(small), crop_small),
-                  (len(small), len(eligible), crop))
+    # Tiered gather crops from the fixed menu: each label lands in the
+    # smallest tier whose crop holds its bbox (tier choice cannot change
+    # results — flat-index argmax order inside ANY containing crop equals
+    # global (x,y,z)-lex order). Each tier's lane count pads to a power
+    # of two; empty tiers keep a 4-lane stub. Group structure therefore
+    # depends only on (volume shape, lane buckets) — one compiled program
+    # set serves dense, neurite, and real workloads.
+    by_tier: List[List[dict]] = [[] for _ in tiers]
+    for j in eligible:
+        for t, c in enumerate(tiers):
+            if all(int(s) <= cc for s, cc in zip(j["shape"], c)):
+                by_tier[t].append(j)
+                break
 
-    N = len(eligible)
-    L = max(2 * sum(crop), 64)
+    groups_l = []
+    lane_jobs: List[Optional[dict]] = []
+    for t, c in enumerate(tiers):
+        b = _lane_bucket(len(by_tier[t]))
+        start = len(lane_jobs)
+        lane_jobs.extend(by_tier[t])
+        lane_jobs.extend([None] * (b - len(by_tier[t])))
+        groups_l.append((start, start + b, c))
+    groups = tuple(groups_l)
+    eligible = lane_jobs  # lane-indexed; None rows are padding
+
+    N = len(lane_jobs)
+    n_live = sum(1 for j in lane_jobs if j is not None)
+    live = np.array([j is not None for j in lane_jobs])
+    L = max(2 * sum(crop_max), 64)
     r_main = RELAX_ROUNDS
     r_ball = max(3, r_main // 2)
     r_warm = max(2, r_main // 3)
@@ -576,6 +599,8 @@ def trace_global(
     for (a, b, c) in groups:
         crop_of[a:b] = np.asarray(c)
     for i, job in enumerate(eligible):
+        if job is None:
+            continue
         lids[i] = job["segid"]
         mn = np.asarray(job["offset"], dtype=np.int64)
         job_off[i] = mn
@@ -594,24 +619,30 @@ def trace_global(
             max_paths_arr[i] = int(max_paths)
 
     # first foreground voxel per label (lexicographic min = the crop
-    # engine's argmax(fg.ravel()) in any containing crop)
+    # engine's argmax(fg.ravel()) in any containing crop); dead padding
+    # lanes point at (0,0,0) but scatter +inf (see _probe_phase)
     if firstvox_arr is not None:
-        firstvox = firstvox_arr[lids]
+        firstvox = np.where(live[:, None], firstvox_arr[lids], 0)
     else:
-        flat_first = np.asarray(jax.device_get(_first_voxels(cc_dev, int(
-            np.max(lids)) + 1)))
+        n_cap = _pow2_at_least(int(np.max(lids)) + 1)
+        flat_first = np.asarray(jax.device_get(_first_voxels(cc_dev,
+                                                             n_cap)))
         firstvox = np.stack(np.unravel_index(
             np.minimum(flat_first[lids], np.prod(vol_shape) - 1), vol_shape),
             axis=-1)
+        firstvox = np.where(live[:, None], firstvox, 0)
     firstvox = firstvox.astype(np.int32)
 
     # PDRF per-label M (reference trace.py:329-333: M = dbf_max ** 1.01);
     # eligibility required a host-known dbf max, and non-soma labels never
     # refill, so the job's value equals the in-kernel max the crop engine
-    # would recompute
-    n_tab = int(np.max(lids)) + 1
+    # would recompute. Table length quantizes to a power of two so the
+    # phase's compile shape doesn't track the exact label count.
+    n_tab = _pow2_at_least(int(np.max(lids)) + 1)
     m_table = np.zeros(n_tab, dtype=np.float32)
     for i, job in enumerate(eligible):
+        if job is None:
+            continue
         dmx = np.float32(job["dbfmax"])
         m_table[lids[i]] = np.float32(1.0) / np.power(
             np.maximum(dmx, np.float32(1e-30)), np.float32(1.01),
@@ -626,6 +657,7 @@ def trace_global(
 
     lids_d = jnp.asarray(lids)
     offs_d = jnp.asarray(offs)
+    live_d = jnp.asarray(live)
 
     import time as _time
 
@@ -635,7 +667,8 @@ def trace_global(
     setup_taint = np.zeros(N, dtype=bool)
     debug = os.environ.get("KIMIMARO_TPU_GENGINE_DEBUG", "0") != "0"
     if debug:
-        print(f"[gengine] N={N} crop={crop} L={L}", flush=True)
+        print(f"[gengine] N={N} live={n_live} groups={groups} L={L}",
+              flush=True)
 
     def _continue_until(field, mask, n_chg, mode="euclid", nodecost=None,
                         phase=""):
@@ -668,14 +701,14 @@ def trace_global(
     probe, mask, n_chg = progcache.call(
         "gengine_probe", _probe_phase,
         dict(anisotropy=anis, rounds=r_main),
-        cc_x, cc_y, cc_z, jnp.asarray(firstvox))
+        cc_x, cc_y, cc_z, jnp.asarray(firstvox), live_d)
     probe = _continue_until(probe, mask, n_chg, phase="probe")
 
     roots, daf, mask, n_chg = progcache.call(
         "gengine_root_daf", _root_daf_phase,
         dict(groups=groups, anisotropy=anis, rounds=r_main),
         probe, cc_x, cc_y, cc_z, cc16, offs_d, lids_d,
-        jnp.asarray(roots_in), jnp.asarray(has_root))
+        jnp.asarray(roots_in), jnp.asarray(has_root), live_d)
     daf = _continue_until(daf, mask, n_chg, phase="daf")
     del probe
 
@@ -684,7 +717,7 @@ def trace_global(
         dict(groups=groups, anisotropy=anis, rounds=r_main,
              pdrf_exponent=pdrf_exponent),
         daf, dbf, jnp.asarray(m_table), cc_x, cc_y, cc_z, cc16,
-        offs_d, lids_d, roots, jnp.float32(pdrf_scale))
+        offs_d, lids_d, roots, live_d, jnp.float32(pdrf_scale))
     d_rail = _continue_until(d_rail, mask, n_chg, mode="node",
                              nodecost=pdrf, phase="rail")
 
@@ -696,7 +729,8 @@ def trace_global(
     valid = (cc_x > 0).astype(jnp.uint8)
     nb = jnp.asarray(nb0)
     na = jnp.asarray(na0)
-    done = jnp.asarray(setup_taint)  # tainted labels skip the loop
+    # tainted labels and dead padding lanes skip the loop
+    done = jnp.asarray(setup_taint | ~live)
     path_buf = jnp.full((K_ITER, N, L), -1, dtype=jnp.int32)
     len_buf = jnp.zeros((K_ITER, N, 3), dtype=jnp.int16)
 
@@ -777,11 +811,17 @@ def trace_global(
     actives = lens[:, :, 1].astype(bool)
     overflows = lens[:, :, 2].astype(bool)
 
-    tainted = setup_taint | taint_nc | overflows.any(axis=0)
+    # taint causes, tracked separately (VERDICT r3 item 8: the re-trace
+    # tax was a single opaque counter)
+    t_setup = setup_taint & live
+    t_nonconv = taint_nc & live
+    t_overflow = overflows.any(axis=0) & live
+    t_capacity = np.zeros(N, dtype=bool)
     if bailed or last_it >= K_ITER:
         # conservatively re-run every label still working at the final
         # dispatched iteration (it may have needed more paths)
-        tainted |= actives[min(last_it, K_ITER) - 1]
+        t_capacity = actives[min(last_it, K_ITER) - 1] & live
+    tainted = t_setup | t_nonconv | t_overflow | t_capacity
     if debug:
         print(f"[gengine] drain: N={N} last_it={last_it} bailed={bailed} "
               f"setup_taint={int(setup_taint.sum())} "
@@ -824,25 +864,33 @@ def trace_global(
             r = r[::-1]
             per_label.setdefault(n, []).append((verts.astype(np.int64), r))
 
-        n_struct = 0
+        t_struct = np.zeros(N, dtype=bool)
         for n, paths in per_label.items():
             if not _paths_structurally_valid(paths):
                 tainted[n] = True
-                n_struct += 1
+                t_struct[n] = True
                 continue
             results[int(lids[n])] = paths
+        profiling.count("gengine_taint_structural", int(t_struct.sum()))
         if debug:
-            print(f"[gengine] structural fails: {n_struct}; "
+            print(f"[gengine] structural fails: {int(t_struct.sum())}; "
                   f"final tainted={int(tainted.sum())}", flush=True)
 
     for n in np.nonzero(tainted)[0]:
+        if eligible[n] is None:
+            continue
         results.pop(int(lids[n]), None)
         leftover.append(eligible[n])
 
+    n_tainted = int((tainted & live).sum())
     profiling.count("gengine_drain_ms",
                     int(1000 * (_time.perf_counter() - _t_drain)))
-    profiling.count("gengine_jobs", N - int(tainted.sum()))
-    profiling.count("gengine_fallback", int(tainted.sum()))
+    profiling.count("gengine_jobs", n_live - n_tainted)
+    profiling.count("gengine_fallback", n_tainted)
+    profiling.count("gengine_taint_setup", int(t_setup.sum()))
+    profiling.count("gengine_taint_nonconv", int(t_nonconv.sum()))
+    profiling.count("gengine_taint_overflow", int(t_overflow.sum()))
+    profiling.count("gengine_taint_capacity", int(t_capacity.sum()))
 
     return results, leftover
 

@@ -139,38 +139,66 @@ def test_soma_labels_fall_through_to_crop_engine():
     _assert_same(a, b)
 
 
-def test_two_tier_argmax_groups_match_crop_engine():
-    """>=32 compact labels + >=32 elongated labels force the two-tier
-    gather-crop split (p50 crop for the small group, p95 for the big);
-    results must equal the crop engine exactly."""
+def test_tiered_argmax_groups_match_crop_engine():
+    """Compact labels + elongated labels land in different fixed-menu
+    gather-crop tiers (the grouped static-slice path); results must equal
+    the crop engine exactly."""
     from kimimaro_tpu import gengine
 
     vol = np.zeros((96, 72, 24), dtype=np.uint32)
     lab = 0
-    # 36 small blobs (bbox ~5-6 per axis)
+    # 36 small blobs (bbox ~5-6 per axis -> the 16^3 tier)
     for i in range(6):
         for j in range(6):
             lab += 1
             x, y = 2 + 16 * i, 2 + 12 * j
             vol[x:x + 5, y:y + 5, 2:7] = lab
-    # 36 long tubes (bbox ~40 along x)
+    # 36 long tubes (bbox ~40 along x -> the 64-extent tier)
     for i in range(6):
         for j in range(6):
             lab += 1
             x, y = 4 + 15 * i, 2 + 11 * j
             vol[x:x + min(40, 96 - x), y:y + 3, 10:13] = lab
 
-    # confirm the split actually engages for this bbox distribution
+    # confirm the workload actually spans >=2 tiers of the fixed menu
+    tiers = gengine._tier_crops(vol.shape)
+    assert len(tiers) >= 2, tiers
     dims = np.array(
         [np.ptp(np.array(np.nonzero(vol == k)), axis=1) + 1
          for k in range(1, lab + 1)])
-    p50 = np.percentile(dims, 50, axis=0)
-    p95 = np.percentile(dims, 95, axis=0)
-    small = gengine._pow2_at_least(int(np.ceil(p50[0])))
-    bigc = gengine._pow2_at_least(int(np.ceil(p95[0])))
-    assert small < bigc, (p50, p95)
+
+    def tier_of(d):
+        for t, c in enumerate(tiers):
+            if all(int(s) <= cc for s, cc in zip(d, c)):
+                return t
+        return len(tiers)
+
+    occupied = {tier_of(d) for d in dims}
+    assert len(occupied) >= 2, (occupied, tiers)
 
     a = _skels(vol, True, fix_borders=False)
     b = _skels(vol, False, fix_borders=False)
     assert len(a) == lab
     _assert_same(a, b)
+
+
+def test_gengine_shapes_independent_of_label_population():
+    """Compile-shape hygiene (r3 VERDICT item 3): the group structure and
+    chase length must depend only on the volume shape and power-of-two
+    lane buckets — never on the workload's bbox percentiles — so a second
+    workload reuses the first's compiled programs."""
+    from kimimaro_tpu import gengine
+
+    # same volume shape, very different bbox distributions
+    tiers = gengine._tier_crops((512, 512, 512))
+    assert tiers == [(16, 16, 16), (32, 32, 32), (64, 64, 64),
+                     (128, 128, 128), (256, 256, 256)]
+    # lane buckets quantize to powers of two (min 4)
+    assert gengine._lane_bucket(0) == 4
+    assert gengine._lane_bucket(3) == 4
+    assert gengine._lane_bucket(5) == 8
+    assert gengine._lane_bucket(1500) == 2048
+    assert gengine._lane_bucket(1800) == 2048
+    assert gengine._lane_bucket(2048) == 2048
+    # small volumes collapse to fewer tiers (all-equal crops dedupe)
+    assert gengine._tier_crops((12, 12, 8)) == [(12, 12, 8)]
