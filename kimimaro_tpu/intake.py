@@ -159,8 +159,10 @@ def skeletonize(
 
     with phase("upload"):
         # h2d of the whole volume rides the tunnel (~30-130 MB/s): keep
-        # its cost out of the ccl phase so the breakdown stays honest
-        labels_dev = stream_upload() if streaming else jnp.asarray(upload)
+        # its cost out of the ccl phase so the breakdown stays honest.
+        # Segmentation volumes are run-heavy, so when RLE beats raw bytes
+        # the transfer ships (starts, values) and decodes on device
+        labels_dev = stream_upload() if streaming else _upload_labels(upload)
         labels_dev.block_until_ready()
     with phase("ccl"):
         cc_raw = connected_components(labels_dev, voxel_graph=vg_dev)
@@ -478,6 +480,53 @@ def format_labels(labels, in_place: bool = False) -> np.ndarray:
                 f"Got: {original_shape}"
             )
     return labels
+
+
+def _rle_decode(starts, values, size: int, shape):
+    """Device-side RLE decode: run id per voxel via scatter+cumsum, then a
+    monotone gather of run values (starts are strictly increasing flat
+    indices with starts[0] == 0)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("size", "shape"))
+    def _decode(starts, values, size, shape):
+        ones = jnp.zeros((size,), dtype=jnp.int32).at[starts].set(1)
+        run_id = jnp.cumsum(ones) - 1
+        return values[run_id].reshape(shape)
+
+    return _decode(starts, values, size, shape)
+
+
+def _upload_labels(upload: np.ndarray):
+    """Host->device transfer of the labels volume. The tunnel moves
+    ~30-130 MB/s, so for run-heavy segmentation volumes shipping RLE
+    (starts u32 + values) and decoding on device beats the raw array;
+    falls back to the raw transfer when runs are short (worst case, random
+    labels, would otherwise ship 2x the raw bytes)."""
+    from .utils import profiling
+
+    if upload.size < (1 << 22) or upload.size >= (1 << 32):
+        return jnp.asarray(upload)
+    # device arrays are logically C-ordered; ravel() copies F-order inputs
+    flat = upload.ravel()
+
+    # boundaries of equal-value runs in C linear order
+    change = np.empty(flat.shape, dtype=bool)
+    change[0] = True
+    np.not_equal(flat[1:], flat[:-1], out=change[1:])
+    starts = np.flatnonzero(change).astype(np.uint32)
+    rle_bytes = starts.size * (4 + flat.dtype.itemsize)
+    if rle_bytes >= 0.6 * flat.nbytes:
+        profiling.count("upload_bytes", int(flat.nbytes))
+        return jnp.asarray(upload)
+
+    values = flat[starts]
+    profiling.count("upload_bytes", int(rle_bytes))
+    profiling.count("upload_runs", int(starts.size))
+    return _rle_decode(
+        jnp.asarray(starts), jnp.asarray(values), int(flat.size),
+        tuple(upload.shape),
+    )
 
 
 def _plan_streaming(clv, object_ids):

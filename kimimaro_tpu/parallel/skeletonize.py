@@ -24,7 +24,52 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .sharded import AXIS, make_mesh, shard_volume, sharded_ccl_rounds, sharded_edtsq
+from .sharded import (
+    AXIS,
+    make_mesh,
+    shard_map,
+    shard_volume,
+    sharded_ccl_rounds,
+    sharded_edtsq,
+)
+from jax.sharding import PartitionSpec as P
+
+
+def _gather_crops_sharded(cc, dbf, offs, mesh, bshape):
+    """Batched device-side crop gather off a mesh-sharded volume: each
+    device slices every requested crop's intersection with its local
+    axis-0 shard (zeros elsewhere) and one psum assembles the replicated
+    crop stacks — O(1) collective dispatches per engine chunk instead of a
+    per-label host device_get loop (VERDICT r3 item 7)."""
+    B0 = int(bshape[0])
+
+    def local(cc_l, dbf_l, offs_l):
+        h = cc_l.shape[0]
+        start = jax.lax.axis_index(AXIS).astype(jnp.int32) * h
+        ccp = jnp.pad(cc_l, ((B0, B0), (0, 0), (0, 0)))
+        dbp = jnp.pad(dbf_l, ((B0, B0), (0, 0), (0, 0)))
+        rows = jnp.arange(B0, dtype=jnp.int32)
+
+        def one(o):
+            # crop rows inside this shard sit at unclamped s0 (see mask
+            # proof: any valid row forces 0 < s0 < h + B0); crops entirely
+            # elsewhere mask to zero regardless of the clamp
+            s0 = jnp.clip(o[0] - start + B0, 0, h + B0)
+            c = jax.lax.dynamic_slice(ccp, (s0, o[1], o[2]), bshape)
+            d = jax.lax.dynamic_slice(dbp, (s0, o[1], o[2]), bshape)
+            m = (o[0] + rows >= start) & (o[0] + rows < start + h)
+            return (jnp.where(m[:, None, None], c, 0),
+                    jnp.where(m[:, None, None], d, 0.0))
+
+        c, d = jax.vmap(one)(offs_l)
+        return jax.lax.psum(c, AXIS), jax.lax.psum(d, AXIS)
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P()),
+        out_specs=(P(), P()),
+    ))
+    return fn(cc, dbf, offs)
 
 
 def skeletonize_sharded(
@@ -158,20 +203,18 @@ def skeletonize_sharded(
     # --- per-label tracing: every batch gathers only its labels' bbox
     # crops off the mesh (a full-volume gather here would OOM the very
     # host/chip the sharding exists to spare) and drives the same batched
-    # engine the single-chip path uses.
-    cc_np_dtype = np.dtype(cc_dev.dtype.name)
-
+    # engine the single-chip path uses. The gather itself is ONE
+    # device-side dispatch per chunk (_gather_crops_sharded); pad lanes
+    # beyond n_real are zeroed like the old host loop left them.
     def crop_source(crop_offs, n_real, bshape):
-        ccs = np.zeros((len(crop_offs),) + bshape, dtype=cc_np_dtype)
-        dbs = np.zeros((len(crop_offs),) + bshape, dtype=np.float32)
-        for j in range(n_real):
-            slc = tuple(
-                slice(int(o), int(o + b))
-                for o, b in zip(crop_offs[j], bshape)
-            )
-            ccs[j] = np.asarray(jax.device_get(cc_dev[slc]))
-            dbs[j] = np.asarray(jax.device_get(dbf_dev[slc]))
-        return jnp.asarray(ccs), jnp.asarray(dbs)
+        offs = np.zeros((len(crop_offs), 3), np.int32)
+        offs[:n_real] = np.asarray(crop_offs[:n_real], dtype=np.int32)
+        ccs, dbs = _gather_crops_sharded(
+            cc_dev, dbf_dev, jnp.asarray(offs), mesh,
+            tuple(int(b) for b in bshape),
+        )
+        lane = jnp.arange(len(crop_offs))[:, None, None, None] < n_real
+        return jnp.where(lane, ccs, 0), jnp.where(lane, dbs, 0.0)
 
     results, fallback_jobs = engine.trace_batched(
         cc_dev, dbf_dev, jobs, teasar_params, anisotropy,

@@ -2,7 +2,7 @@
 
 Runs the dense synthetic through intake up to the trace stage, then times
 the gengine sub-phases (setup relaxes, ball relax, rail relax, chase,
-crop-argmax) as separate jits on live state. Usage:
+crop-argmax, one fused iteration) as separate jits on live state. Usage:
 
   python notes/prof_gengine.py [N]
 
@@ -28,6 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import bench
 from kimimaro_tpu import gengine
 from kimimaro_tpu.ops import gsweep
+from kimimaro_tpu.ops.fused_trace import RELAX_ROUNDS
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 labels = bench.synthetic_volume_dense(N)
@@ -55,11 +56,14 @@ from kimimaro_tpu.ops.ccl import compact_cc, connected_components, label_info
 from kimimaro_tpu.ops import edt as edt_ops
 
 labels_dev = jnp.asarray(labels.astype(np.uint16))
-cc_raw = connected_components(labels_dev)
+sec, cc_raw = t(lambda v: connected_components(v), labels_dev, reps=1)
+print(f"ccl: {sec*1000:.1f} ms")
 cc_dev, n_comp, rep_prefix = compact_cc(cc_raw)
 n_components = int(n_comp)
-dbf_dev = edt_ops.edt(cc_dev, anisotropy=ANIS, black_border=False)
-dbf_dev.block_until_ready()
+sec, dbf_dev = t(
+    lambda v: edt_ops.edt(v, anisotropy=ANIS, black_border=False), cc_dev,
+    reps=2)
+print(f"edt: {sec*1000:.1f} ms")
 print(f"N={N} components={n_components}")
 
 counts, bbmin, bbmax, orig = jax.device_get(label_info(
@@ -84,25 +88,49 @@ print(f"jobs={len(jobs)}")
 
 anis = ANIS
 vol_shape = tuple(int(x) for x in cc_dev.shape)
-crop = gengine._pick_crop(jobs, vol_shape)
-print(f"crop={crop}")
+tiers = gengine._tier_crops(vol_shape)
+crop_max = tiers[-1]
 
-eligible = [j for j in jobs
-            if all(int(a) <= c for a, c in zip(j["shape"], crop))
-            and float(j["dbfmax"]) <= 1100]
-Njobs = len(eligible)
-lids = np.array([j["segid"] for j in eligible], np.int32)
-offs = np.array([np.minimum(np.maximum(j["offset"], 0),
-                            np.asarray(vol_shape) - np.asarray(crop))
-                 for j in eligible], np.int32)
-print(f"eligible={Njobs}")
+pool = [j for j in jobs
+        if all(int(a) <= c for a, c in zip(j["shape"], crop_max))
+        and float(j["dbfmax"]) <= 1100]
+
+by_tier = [[] for _ in tiers]
+for j in pool:
+    for ti, c in enumerate(tiers):
+        if all(int(s) <= cc for s, cc in zip(j["shape"], c)):
+            by_tier[ti].append(j)
+            break
+groups_l = []
+lane_jobs = []
+for ti, c in enumerate(tiers):
+    b = gengine._lane_bucket(len(by_tier[ti]))
+    start = len(lane_jobs)
+    lane_jobs.extend(by_tier[ti])
+    lane_jobs.extend([None] * (b - len(by_tier[ti])))
+    groups_l.append((start, start + b, c))
+groups = tuple(groups_l)
+Njobs = len(lane_jobs)
+live = np.array([j is not None for j in lane_jobs])
+print(f"groups={groups} lanes={Njobs} live={int(live.sum())}")
+
+lids = np.array([j["segid"] if j else 0 for j in lane_jobs], np.int32)
+offs = np.zeros((Njobs, 3), np.int32)
+crop_of = np.empty((Njobs, 3), dtype=np.int64)
+for (a, b, c) in groups:
+    crop_of[a:b] = np.asarray(c)
+for i, j in enumerate(lane_jobs):
+    if j is None:
+        continue
+    off = np.minimum(np.asarray(j["offset"]), np.asarray(vol_shape) - crop_of[i])
+    offs[i] = np.maximum(off, 0)
 
 fv_flat = np.asarray(jax.device_get(jnp.searchsorted(
     rep_prefix, jnp.arange(1, n_components + 1, dtype=jnp.int32))))
 fv_flat = np.minimum(fv_flat, labels.size - 1)
 firstvox_arr = np.zeros((n_components + 1, 3), np.int32)
 firstvox_arr[1:] = np.stack(np.unravel_index(fv_flat, vol_shape), axis=-1)
-firstvox = firstvox_arr[lids]
+firstvox = np.where(live[:, None], firstvox_arr[lids], 0)
 
 cc_x = cc_dev.astype(jnp.int32)
 cc_y = jnp.transpose(cc_x, gsweep._PERM_TO_Y)
@@ -112,28 +140,31 @@ cc_pad = jnp.pad(cc16, 1, constant_values=0)
 dbf = dbf_dev.astype(jnp.float32)
 lids_d = jnp.asarray(lids)
 offs_d = jnp.asarray(offs)
+live_d = jnp.asarray(live)
 
-r_main = 6
+r_main = RELAX_ROUNDS
 
 sec, (probe, mask, n_chg) = t(
-    gengine._probe_phase, cc_x, cc_y, cc_z, jnp.asarray(firstvox),
+    gengine._probe_phase, cc_x, cc_y, cc_z, jnp.asarray(firstvox), live_d,
     anis, r_main)
 print(f"probe_phase ({r_main}+1 rounds): {sec*1000:.1f} ms  n_chg={int(n_chg)}")
 
 sec, (roots, daf, mask, n_chg) = t(
     gengine._root_daf_phase, probe, cc_x, cc_y, cc_z, cc16, offs_d, lids_d,
-    jnp.zeros((Njobs, 3), jnp.int32), jnp.zeros((Njobs,), bool),
-    crop, anis, r_main)
+    jnp.zeros((Njobs, 3), jnp.int32), jnp.zeros((Njobs,), bool), live_d,
+    groups, anis, r_main)
 print(f"root_daf_phase: {sec*1000:.1f} ms  n_chg={int(n_chg)}")
 
-m_table = np.zeros(int(lids.max()) + 1, dtype=np.float32)
-for j, job in zip(lids, eligible):
-    m_table[j] = 1.0 / np.power(max(float(job["dbfmax"]), 1e-30), 1.01)
+m_table = np.zeros(gengine._pow2_at_least(int(lids.max()) + 1), np.float32)
+for i, job in enumerate(lane_jobs):
+    if job is None:
+        continue
+    m_table[lids[i]] = 1.0 / np.power(max(float(job["dbfmax"]), 1e-30), 1.01)
 
 sec, (daf, pdrf, d_rail, mask, n_chg) = t(
     gengine._pdrf_rail_phase, daf, dbf, jnp.asarray(m_table),
-    cc_x, cc_y, cc_z, cc16, offs_d, lids_d, roots, crop, anis, r_main,
-    4, jnp.float32(100000.0))
+    cc_x, cc_y, cc_z, cc16, offs_d, lids_d, roots, live_d,
+    jnp.float32(100000.0), groups, anis, r_main, 4)
 print(f"pdrf_rail_phase: {sec*1000:.1f} ms  n_chg={int(n_chg)}")
 
 # --- sub-phase jits on live state
@@ -142,33 +173,36 @@ import functools
 INF = gengine.INF
 
 
-@functools.partial(jax.jit, static_argnames=("crop",))
-def argmax_only(packed, cc16, offs, lids, crop):
-    return gengine._crop_argmax(packed, cc16, offs, lids, crop)
+@functools.partial(jax.jit, static_argnames=("groups",))
+def argmax_only(packed, cc16, offs, lids, groups):
+    return gengine._grouped_argmax(packed, cc16, offs, lids, groups)
 
 
 valid = (cc_x > 0).astype(jnp.uint8)
 packed = jnp.where(valid != 0, daf, -INF)
-sec, (am_idx, am_val) = t(argmax_only, packed, cc16, offs_d, lids_d, crop)
-print(f"crop_argmax: {sec*1000:.1f} ms")
+sec, (am_xyz, am_val) = t(argmax_only, packed, cc16, offs_d, lids_d, groups)
+print(f"grouped_argmax: {sec*1000:.1f} ms")
 
-targets = np.asarray(jax.device_get(
-    gengine._unflatten_crop(am_idx, offs_d, crop)))
+targets = np.asarray(jax.device_get(am_xyz))
+
+L = max(2 * sum(crop_max), 64)
 
 
 @functools.partial(jax.jit, static_argnames=("L",))
-def chase_only(d_rail, cc_pad, starts, lids, L):
-    d_pad = jnp.pad(d_rail, 1, constant_values=INF)
-    return gengine._chase_global(d_pad, cc_pad, starts, lids, L,
-                                 d_rail.shape)
+def code_chase_only(d_rail, cc_x, starts, L):
+    code = gengine._descent_code(d_rail, cc_x)
+    return gengine._chase_codes(code.ravel(), starts, L, d_rail.shape)
 
 
-L = max(2 * sum(crop), 64)
 sec, (path_flat, plen, reached) = t(
-    chase_only, d_rail, cc_pad, jnp.asarray(targets), lids_d, L)
+    code_chase_only, d_rail, cc_x, jnp.asarray(targets), L)
 plens = np.asarray(jax.device_get(plen))
-print(f"chase (L={L}): {sec*1000:.1f} ms  plen p50={np.percentile(plens,50):.0f} "
+print(f"descent-code chase (L={L}): {sec*1000:.1f} ms  "
+      f"plen p50={np.percentile(plens,50):.0f} "
       f"p90={np.percentile(plens,90):.0f} max={plens.max()}")
+
+r_ball = max(3, r_main // 2)
+r_warm = max(2, r_main // 3)
 
 
 @functools.partial(jax.jit, static_argnames=("anisotropy", "rounds"))
@@ -190,8 +224,8 @@ def ball_only(pf, pmask, valid, dbf, cc_x, cc_y, cc_z, anisotropy, rounds):
 pmask = (jnp.arange(L)[None, :] < plen[:, None])
 pf = jnp.where(pmask, path_flat, 0)
 sec, (ball_d, ball_mask) = t(
-    ball_only, pf, pmask, valid, dbf, cc_x, cc_y, cc_z, anis, 3)
-print(f"ball relax (3+1 rounds): {sec*1000:.1f} ms "
+    ball_only, pf, pmask, valid, dbf, cc_x, cc_y, cc_z, anis, r_ball)
+print(f"ball relax ({r_ball}+1 rounds): {sec*1000:.1f} ms "
       f"nchg={int(jnp.sum(ball_mask))}")
 
 
@@ -210,10 +244,46 @@ def rail_only(pf, pmask, pdrf, d_rail, cc_x, cc_y, cc_z, anisotropy, rounds):
 
 
 sec, (d2, rail_mask) = t(
-    rail_only, pf, pmask, pdrf, d_rail, cc_x, cc_y, cc_z, anis, 2)
-print(f"rail relax (2+1 rounds): {sec*1000:.1f} ms "
+    rail_only, pf, pmask, pdrf, d_rail, cc_x, cc_y, cc_z, anis, r_warm)
+print(f"rail relax ({r_warm}+1 rounds): {sec*1000:.1f} ms "
       f"nchg={int(jnp.sum(rail_mask))}")
 
-# one full fused iteration for reference
-it_args = None
+# --- one full fused lock-step iteration (the real per-iteration cost)
+K_ITER = gengine.K_ITER
+T_CAP = gengine.T_CAP
+iter_statics = dict(
+    groups=groups, anisotropy=anis, r_ball=r_ball, r_warm=r_warm,
+    fix_branching=True, L=L)
+
+state = dict(
+    valid=valid, pdrf=pdrf, d_rail=d_rail,
+    nb=jnp.zeros((Njobs,), jnp.int32), na=jnp.zeros((Njobs,), jnp.int32),
+    done=jnp.asarray(~live),
+    path_buf=jnp.full((K_ITER, Njobs, L), -1, dtype=jnp.int32),
+    len_buf=jnp.zeros((K_ITER, Njobs, 3), dtype=jnp.int16),
+)
+before_d = jnp.zeros((Njobs, T_CAP, 3), jnp.int32)
+after_d = jnp.zeros((Njobs, T_CAP, 3), jnp.int32)
+mp_d = jnp.full((Njobs,), K_ITER + 1, jnp.int32)
+
+t0 = time.perf_counter()
+outs = gengine._iteration(
+    state["valid"], state["pdrf"], state["d_rail"], state["nb"],
+    state["na"], state["done"], state["path_buf"], state["len_buf"],
+    jnp.int32(0), daf, dbf, cc_x, cc_y, cc_z, cc16, offs_d, lids_d, roots,
+    before_d, after_d, mp_d, jnp.float32(1.5), jnp.float32(300.0),
+    **iter_statics)
+jax.block_until_ready(outs)
+print(f"fused _iteration (incl compile): {time.perf_counter()-t0:.1f} s")
+(valid2, pdrf2, d_rail2, nb2, na2, done2, path_buf2, len_buf2,
+ stats, nc_mask) = outs
+t0 = time.perf_counter()
+outs2 = gengine._iteration(
+    valid2, pdrf2, d_rail2, nb2, na2, done2, path_buf2, len_buf2,
+    jnp.int32(1), daf, dbf, cc_x, cc_y, cc_z, cc16, offs_d, lids_d, roots,
+    before_d, after_d, mp_d, jnp.float32(1.5), jnp.float32(300.0),
+    **iter_statics)
+jax.block_until_ready(outs2)
+print(f"fused _iteration (warm): {time.perf_counter()-t0:.3f} s  "
+      f"stats={np.asarray(jax.device_get(outs2[8]))}")
 print("done")

@@ -134,3 +134,67 @@ def test_sharded_never_gathers_full_volume(mesh_small, monkeypatch):
         f"full-volume-scale gather detected: max fetch {max(seen)} elems "
         f"of a {vol_elems}-elem volume"
     )
+
+
+def test_gather_crops_sharded_matches_naive(mesh_small):
+    """VERDICT r3 item 7: the trace stage's crop gather is one batched
+    device-side dispatch; crops spanning shard boundaries must assemble
+    exactly (psum of per-shard intersections)."""
+    import jax.numpy as jnp
+
+    from kimimaro_tpu.parallel.sharded import shard_volume
+    from kimimaro_tpu.parallel.skeletonize import _gather_crops_sharded
+
+    mesh = mesh_small
+    n_dev = int(mesh.devices.size)
+    rng = np.random.RandomState(3)
+    vol = rng.randint(0, 50, size=(8 * n_dev, 24, 16)).astype(np.int32)
+    dbf = rng.rand(*vol.shape).astype(np.float32)
+
+    cc_dev = shard_volume(jnp.asarray(vol), mesh)
+    dbf_dev = shard_volume(jnp.asarray(dbf), mesh)
+
+    bshape = (8, 8, 8)
+    # crop starts chosen to cross shard boundaries (shard height = 8)
+    offs = np.array([
+        [0, 0, 0],
+        [4, 3, 2],        # spans shards 0-1
+        [8 * n_dev - 8, 16, 8],
+        [7, 5, 1],        # spans shards 0-1 at the seam
+    ], dtype=np.int32)
+
+    ccs, dbs = _gather_crops_sharded(
+        cc_dev, dbf_dev, jnp.asarray(offs), mesh, bshape)
+    ccs = np.asarray(ccs)
+    dbs = np.asarray(dbs)
+    for j, o in enumerate(offs):
+        sl = tuple(slice(int(a), int(a + b)) for a, b in zip(o, bshape))
+        np.testing.assert_array_equal(ccs[j], vol[sl])
+        np.testing.assert_allclose(dbs[j], dbf[sl])
+
+
+def test_sharded_crop_gather_is_batched(mesh_small, monkeypatch):
+    """The per-chunk gather must be O(1) device dispatches, not a
+    per-label host device_get loop: count host fetches of crop-sized
+    arrays during the trace stage."""
+    mesh = mesh_small
+    labels = np.zeros((32, 24, 16), dtype=np.uint32)
+    for i, (x, y) in enumerate([(2, 2), (2, 12), (12, 2), (12, 12),
+                                (22, 2), (22, 12)]):
+        labels[x:x + 8, y:y + 4, 4:10] = i + 1
+
+    from kimimaro_tpu.parallel import skeletonize as sk_mod
+
+    calls = []
+    real = sk_mod._gather_crops_sharded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(sk_mod, "_gather_crops_sharded", spy)
+    out = skeletonize_sharded(
+        labels, mesh=mesh, anisotropy=(1, 1, 1), dust_threshold=10)
+    assert sorted(out) == [1, 2, 3, 4, 5, 6]
+    # 6 same-bucket labels ride few chunks; a per-label loop would be >= 6
+    assert 1 <= len(calls) < 6, calls
