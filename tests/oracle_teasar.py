@@ -71,10 +71,23 @@ class _Grid:
         self.fg = fg
         self.n = int(np.prod(fg.shape))
         r, c, d = _neighbor_table(fg.shape, fg, anisotropy)
-        self.rows, self.cols = r, c
+        self.rows, self.cols, self.edata = r, c, d
         self.euclid = sparse.csr_matrix(
             (d, (r, c)), shape=(self.n, self.n)
         )
+
+    def geodesic_seeded(self, seed_idx, seed_dist):
+        """Dijkstra where every seed voxel starts at its given distance
+        (dijkstra3d's free_space_radius semantics: interior-of-ball voxels
+        are pre-finalized at exact euclidean distance — a virtual source
+        node with per-seed edge weights reproduces this exactly, since the
+        grid metric dominates straight-line distance)."""
+        n = self.n
+        r = np.concatenate([self.rows, np.full(len(seed_idx), n)])
+        c = np.concatenate([self.cols, seed_idx])
+        d = np.concatenate([self.edata, seed_dist])
+        ga = sparse.csr_matrix((d, (r, c)), shape=(n + 1, n + 1))
+        return csgraph.dijkstra(ga, indices=[n], min_only=True)[:n]
 
     def node_cost_graph(self, field):
         """Directed graph where stepping u->v costs field[v] (dijkstra3d's
@@ -98,6 +111,10 @@ def oracle_teasar(
     black_border: bool = True,
     root=None,
     max_paths: int = 10000,
+    soma_detection_threshold: float = float("inf"),
+    soma_acceptance_threshold: float = float("inf"),
+    soma_invalidation_scale: float = 2.0,
+    soma_invalidation_const: float = 300.0,
 ):
     """Returns (vertices (N,3) int voxel coords, edges (E,2)) of the TEASAR
     skeleton of a single connected binary object."""
@@ -109,29 +126,65 @@ def oracle_teasar(
         return np.zeros((0, 3), dtype=np.int64), np.zeros((0, 2), dtype=np.int64)
 
     # --- DBF (exact EDT; black border via zero padding)
-    if black_border:
-        padded = np.pad(fg, 1)
-        dbf = ndimage.distance_transform_edt(padded, sampling=anisotropy)
-        dbf = dbf[1:-1, 1:-1, 1:-1]
-    else:
-        dbf = ndimage.distance_transform_edt(fg, sampling=anisotropy)
-    dbf = np.where(fg, dbf, 0.0)
+    def _edt(fgv, bb):
+        if bb:
+            padded = np.pad(fgv, 1)
+            d = ndimage.distance_transform_edt(padded, sampling=anisotropy)
+            d = d[1:-1, 1:-1, 1:-1]
+        else:
+            d = ndimage.distance_transform_edt(fgv, sampling=anisotropy)
+        return np.where(fgv, d, 0.0)
+
+    dbf = _edt(fg, black_border)
     dbf_max = dbf.max()
+
+    # --- soma detection: hole fill + re-EDT (reference trace.py:104-119);
+    # soma_mode engages only past the acceptance threshold
+    soma_mode = False
+    soma_radius = 0.0
+    if dbf_max > soma_detection_threshold:
+        filled = ndimage.binary_fill_holes(fg)
+        if filled.sum() > fg.sum():
+            fg = filled
+            # reference: black_border=np.all(labels) on the re-EDT
+            dbf = _edt(fg, bool(fg.all()))
+        dbf_max = dbf.max()
+        soma_mode = dbf_max > soma_acceptance_threshold
 
     grid = _Grid(fg, anisotropy)
     flat_fg = fg.ravel()
 
-    # --- root: EDF argmax from the first foreground voxel (trace.py:291-308)
-    if root is None:
+    # --- root (trace.py:121-134): soma mode picks the DBF maximum nearest
+    # the centroid-of-maxima (trace.py:269-289); otherwise EDF argmax from
+    # the first foreground voxel (trace.py:291-308)
+    if soma_mode:
+        maxima = dbf == dbf_max
+        com = np.asarray(ndimage.center_of_mass(maxima), dtype=np.float64)
+        coords = np.vstack(np.where(maxima)).T
+        root_vox = coords[np.argmin(((coords - com) ** 2).sum(axis=1))]
+        root_idx = int(np.ravel_multi_index(tuple(root_vox), shape))
+        soma_radius = (dbf_max * soma_invalidation_scale
+                       + soma_invalidation_const)
+    elif root is None:
         first = int(np.argmax(flat_fg))
         probe = grid.geodesic_from([first])
         probe = np.where(np.isfinite(probe) & flat_fg, probe, -np.inf)
         root_idx = int(np.argmax(probe))
     else:
         root_idx = int(np.ravel_multi_index(tuple(root), shape))
+    root_vox = np.asarray(np.unravel_index(root_idx, shape))
 
-    # --- DAF + PDRF (trace.py:139-148,315-356)
-    daf = grid.geodesic_from([root_idx])
+    # --- DAF + PDRF (trace.py:139-148,315-356). Soma mode passes
+    # free_space_radius=DBF[root]: voxels inside that ball carry exact
+    # euclidean distance and seed the search (trace.py:135-145)
+    fsr = float(dbf.ravel()[root_idx]) if soma_mode else 0.0
+    if fsr > 0:
+        allc = np.stack(np.unravel_index(np.arange(grid.n), shape), axis=1)
+        e = np.sqrt((((allc - root_vox) * anisotropy) ** 2).sum(axis=1))
+        ball = np.flatnonzero(flat_fg & (e < fsr))
+        daf = grid.geodesic_seeded(ball, e[ball])
+    else:
+        daf = grid.geodesic_from([root_idx])
     daf = np.where(np.isfinite(daf), daf, 0.0)
     max_daf = daf.max()
 
@@ -154,6 +207,17 @@ def oracle_teasar(
 
     radius_flat = scale * dbf.ravel() + const
 
+    if soma_mode:
+        # root ball invalidation before the loop (trace.py:160-168): a
+        # geodesic in-component ball of radius s_scale*DBF[root]+s_const
+        # (DBF[root] == dbf_max at a maxima root)
+        rb = csgraph.dijkstra(grid.euclid, indices=[root_idx],
+                              min_only=True)
+        r0 = (soma_invalidation_scale * float(dbf.ravel()[root_idx])
+              + soma_invalidation_const)
+        valid &= ~(rb <= r0)
+        valid[root_idx] = False
+
     for _ in range(max_paths):
         if not valid.any():
             break
@@ -173,10 +237,21 @@ def oracle_teasar(
                 break  # disconnected (shouldn't happen in one component)
             path.append(cur)
 
-        # record path (rail-first like the reference)
+        # rail-first order like the reference
         path = path[::-1]
+
+        if soma_mode:
+            # cull path vertices within soma_radius of the root, keeping
+            # the rail anchor (trace.py:246-251)
+            pc = np.stack(np.unravel_index(np.array(path), shape), axis=1)
+            d2root = np.sqrt(
+                (((pc - root_vox) * anisotropy) ** 2).sum(axis=1))
+            path = [path[0]] + [p for p, d in zip(path, d2root)
+                                if d > soma_radius]
+
         for a, b in zip(path[:-1], path[1:]):
-            edges.add((min(a, b), max(a, b)))
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
         vertices.update(path)
 
         # invalidation: geodesic ball of per-vertex radius around the path

@@ -101,3 +101,113 @@ def test_vertex_parity_anisotropic():
     parity = vertex_parity(got, oracle_v, tol_voxels=1.5)
     print(f"[parity] winding anisotropic: {parity * 100:.2f}%")
     assert parity >= 0.99
+
+
+# --- soma mode (VERDICT r3 item 6): the oracle implements soma detect/
+# accept, hole fill + re-EDT, centroid-of-maxima root, free-space-radius
+# DAF seeding, root-ball invalidation, and soma-radius culling
+# (reference trace.py:104-168,246-251,269-289)
+
+SOMA_PARAMS = {
+    "scale": 1.5,
+    "const": 3.0,
+    "pdrf_scale": 100000,
+    "pdrf_exponent": 4,
+    # detection must sit below the HOLLOW shell's dbf_max (~5.4 for the
+    # r=14 blob below) so the hole-fill + re-EDT branch actually engages;
+    # acceptance sits below the refilled dbf_max (~14)
+    "soma_detection_threshold": 4.0,
+    "soma_acceptance_threshold": 10.0,
+    "soma_invalidation_scale": 1.0,
+    "soma_invalidation_const": 2.0,
+}
+
+
+def _soma_blob(vol, center, r, hole=True):
+    cx, cy, cz = center
+    x, y, z = np.ogrid[: vol.shape[0], : vol.shape[1], : vol.shape[2]]
+    ball = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2 <= r * r
+    vol |= ball
+    if hole:
+        # interior cavity: exercises the hole-fill + re-EDT branch
+        cav = ((x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+               <= (r // 3) ** 2)
+        vol &= ~cav
+    return vol
+
+
+def _run_soma_pipeline(binimg, label=1):
+    skels = kimimaro_tpu.skeletonize(
+        binimg.astype(np.uint8) * label if binimg.dtype == bool else binimg,
+        teasar_params=SOMA_PARAMS,
+        anisotropy=(1, 1, 1),
+        dust_threshold=0,
+        fix_borders=False,
+        fill_holes=False,
+        progress=False,
+    )
+    skel = skels[label]
+    return skel.vertices.round()
+
+
+def test_vertex_parity_soma_mode():
+    """Thick blob with an interior cavity + a long neurite: soma detect,
+    refill/re-EDT, root ball, and culling must match the oracle."""
+    vol = np.zeros((72, 40, 40), dtype=bool)
+    vol = _soma_blob(vol, (20, 20, 20), 14, hole=True)
+    vol[33:70, 18:23, 18:23] = True  # neurite out of the soma
+
+    got = _run_soma_pipeline(vol)
+    oracle_v, _ = oracle_teasar(
+        vol, anisotropy=(1, 1, 1), black_border=False, **{
+            k: SOMA_PARAMS[k] for k in (
+                "scale", "const", "pdrf_scale", "pdrf_exponent",
+                "soma_detection_threshold", "soma_acceptance_threshold",
+                "soma_invalidation_scale", "soma_invalidation_const")
+        },
+    )
+    parity = vertex_parity(got, oracle_v, tol_voxels=1.0)
+    print(f"[parity] soma: {parity * 100:.2f}% "
+          f"({len(got)} vs {len(oracle_v)} oracle vertices)")
+    assert parity >= 0.99
+
+
+def test_vertex_parity_multilabel_with_soma():
+    """>=96^3 multi-label volume: a soma-bearing cell and two plain
+    neurites; every label's skeleton must hit >=99% parity against the
+    per-label oracle (VERDICT r3 item 6)."""
+    labels = np.zeros((96, 96, 96), dtype=np.uint8)
+
+    cell = np.zeros_like(labels, dtype=bool)
+    cell = _soma_blob(cell, (30, 48, 48), 13, hole=True)
+    cell[42:90, 46:51, 46:51] = True
+    labels[cell] = 1
+
+    labels[4:90, 8:12, 8:12] = 2            # straight tube
+    y = 70
+    rng = np.random.RandomState(5)          # winding tube
+    for x in range(6, 90):
+        y = int(np.clip(y + rng.randint(-1, 2), 60, 88))
+        labels[x, y: y + 3, 20:24] = 3
+
+    skels = kimimaro_tpu.skeletonize(
+        labels, teasar_params=SOMA_PARAMS, anisotropy=(1, 1, 1),
+        dust_threshold=0, fix_borders=False, progress=False,
+    )
+    assert sorted(skels) == [1, 2, 3]
+
+    oracle_kw = {k: SOMA_PARAMS[k] for k in (
+        "scale", "const", "pdrf_scale", "pdrf_exponent",
+        "soma_detection_threshold", "soma_acceptance_threshold",
+        "soma_invalidation_scale", "soma_invalidation_const")}
+    worst = 1.0
+    for lab in (1, 2, 3):
+        got = skels[lab].vertices.round()
+        oracle_v, _ = oracle_teasar(
+            labels == lab, anisotropy=(1, 1, 1), black_border=False,
+            **oracle_kw,
+        )
+        parity = vertex_parity(got, oracle_v, tol_voxels=1.0)
+        print(f"[parity] multilabel soma, label {lab}: {parity*100:.2f}%")
+        worst = min(worst, parity)
+    assert worst >= 0.99
