@@ -320,6 +320,28 @@ def _relax_cont(d, cc_x, cc_y, cc_z, nodecost, anisotropy, rounds, mode):
     return d, mask, jnp.sum(mask, dtype=jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("anisotropy", "rounds"),
+                   donate_argnums=(0,))
+def _ball_cont(d, cc_x, cc_y, cc_z, ok, anisotropy, rounds):
+    """Warm continuation of an iteration's rolling-ball relax (euclid,
+    positive-clamped, occupancy-restricted): more rounds on the existing
+    field so an under-converged invalidation is repaired instead of
+    tainting the label."""
+    cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
+    ok_v = gsweep.MaskViews(ok)
+    d, mask = gsweep.relax_full(d, cc_v, None, ok_v, anisotropy, rounds,
+                                mode="euclid", clamp_positive=True,
+                                conv="negative", return_mask=True)
+    return d, mask, jnp.sum(mask, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _apply_ball(valid, ball_d):
+    """Re-apply a repaired (deeper) ball to the valid mask — monotone:
+    the continuation only grows the negative set."""
+    return jnp.where(ball_d <= 0.0, 0, valid).astype(valid.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("groups", "anisotropy",
                                               "rounds"))
 def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
@@ -390,7 +412,7 @@ def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
     donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
 )
 def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
-               it,
+               it, it_w,
                daf, dbf, cc_x, cc_y, cc_z, cc16,
                offs, lids, roots,
                before_stack, after_stack, max_paths_arr,
@@ -399,7 +421,14 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
     """One lock-step path iteration for every still-active label:
     target -> chase -> rolling-ball invalidation -> rail rezero + warm
     re-relax (reference trace.py:225-263; exact semantics from
-    engine._one_label's loop body)."""
+    engine._one_label's loop body).
+
+    `it` is the GLOBAL path index (max_paths accounting); `it_w` is the
+    segment-local write row in path_buf/len_buf (the host drains and
+    reuses the K_ITER-row buffers when a label outlives one segment).
+    Returns the ball field + occupancy so the host can REPAIR an
+    unconverged invalidation with warm continuations (re-applying a
+    deeper ball to `valid` is monotone) instead of tainting the label."""
     vol_shape = daf.shape
     cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
     N = lids.shape[0]
@@ -457,24 +486,25 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
         d_rail, rail_mask = gsweep.relax_full(
             d_rail, cc_v, nc_v, None, anisotropy, r_warm, mode="node",
             return_mask=True)
-        nc_mask = ball_mask | rail_mask
+        n_chg_rail = jnp.sum(rail_mask, dtype=jnp.int32)
     else:
-        nc_mask = ball_mask
+        n_chg_rail = jnp.int32(0)
 
     # --- bookkeeping
     path_buf = jax.lax.dynamic_update_slice(
-        path_buf, path_flat[None].astype(jnp.int32), (it, 0, 0))
+        path_buf, path_flat[None].astype(jnp.int32), (it_w, 0, 0))
     len_buf = jax.lax.dynamic_update_slice(
         len_buf,
         jnp.stack([plen.astype(jnp.int16),
                    active.astype(jnp.int16),
                    overflow.astype(jnp.int16)], axis=-1)[None],
-        (it, 0, 0))
+        (it_w, 0, 0))
     done = done | (~work) | overflow
     stats = jnp.stack([jnp.sum(active, dtype=jnp.int32),
-                       jnp.sum(nc_mask, dtype=jnp.int32)])
+                       jnp.sum(ball_mask, dtype=jnp.int32),
+                       n_chg_rail])
     return (valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
-            stats, nc_mask)
+            stats, ball_d, ok)
 
 
 @jax.jit
@@ -592,7 +622,9 @@ def trace_global(
     nb0 = np.zeros(N, dtype=np.int32)
     after_stack = np.zeros((N, T_CAP, 3), dtype=np.int32)
     na0 = np.zeros(N, dtype=np.int32)
-    max_paths_arr = np.full(N, K_ITER + 1, dtype=np.int32)
+    # unlimited by default (reference trace.py max_paths=None); the real
+    # bound is max_segs whole buffer segments (capacity taint past that)
+    max_paths_arr = np.full(N, 1 << 30, dtype=np.int32)
     job_off = np.zeros((N, 3), dtype=np.int64)
 
     crop_of = np.empty((N, 3), dtype=np.int64)
@@ -725,7 +757,7 @@ def trace_global(
                     int(1000 * (_time.perf_counter() - _t_setup)))
     _t_loop = _time.perf_counter()
 
-    # --- lock-step path loop
+    # --- lock-step path loop (segmented buffers + convergence repair)
     valid = (cc_x > 0).astype(jnp.uint8)
     nb = jnp.asarray(nb0)
     na = jnp.asarray(na0)
@@ -745,142 +777,186 @@ def trace_global(
     # costs ~3 s, so by default the loop runs to n_act == 0 (bail 0);
     # KIMIMARO_TPU_GENGINE_BAIL restores the old early-exit if needed
     bail_n = int(os.environ.get("KIMIMARO_TPU_GENGINE_BAIL", "0"))
+    # segments: when the K_ITER-row path buffer fills with labels still
+    # active, it is drained host-side and REUSED — long-path labels keep
+    # their finished paths instead of re-tracing in the crop engine
+    # (VERDICT r3 item 8); capacity taint now needs max_segs*K_ITER paths
+    max_segs = int(os.environ.get("KIMIMARO_TPU_GENGINE_SEGS", "16"))
 
-    pending = []  # (it, stats (2,) int32 dev, nc_mask dev)
     taint_nc = np.zeros(N, dtype=bool)
-    last_it = K_ITER
     bailed = False
+    n_act = -1
+    repairs = 0
+    seg = 0
+    seg_rows = 0
 
-    def _land(pit, pstats, pmask):
-        """Fetch a finished iteration's flags; returns its active count."""
-        n_act, n_chg = (int(v) for v in np.asarray(jax.device_get(pstats)))
-        if n_chg > 0:
-            taint_nc[:] |= np.asarray(jax.device_get(progcache.call(
-                "gengine_nc_reduce", _nc_reduce, dict(groups=groups),
-                pmask, cc16, offs_d, lids_d)))
-        if debug:
-            import time as _time
-            print(f"[gengine] it={pit} n_act={n_act} n_chg={n_chg} "
-                  f"taint_nc={int(taint_nc.sum())} "
-                  f"t={_time.perf_counter():.1f}", flush=True)
-        return n_act
+    # host accumulators across segments: per-lane ordered path rows
+    per_lane: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+    t_overflow = np.zeros(N, dtype=bool)
+    last_actives = np.zeros((K_ITER, N), dtype=bool)
+
+    from .engine import _paths_structurally_valid
+
+    def _drain_segment(pbuf, lbuf):
+        """Fetch a segment's finished paths into per_lane. Tainted lanes
+        are dropped at final assembly, not here — a taint found in a
+        LATER segment must still discard the lane's earlier rows."""
+        lens = np.asarray(jax.device_get(lbuf))  # (K_ITER, N, 3) i16
+        plens = lens[:, :, 0].astype(np.int64)
+        actives = lens[:, :, 1].astype(bool)
+        t_overflow[:] |= lens[:, :, 2].astype(bool).any(axis=0) & live
+        keep = actives & (plens > 0)
+        keep[:, ~live] = False
+        idx_list = []
+        meta = []  # (lane, length)
+        for r in range(K_ITER):
+            for lane in np.nonzero(keep[r])[0]:
+                ln = int(plens[r, lane])
+                base = (r * N + lane) * L
+                idx_list.append(np.arange(base, base + ln, dtype=np.int64))
+                meta.append((lane, ln))
+        if idx_list:
+            gidx = jnp.asarray(np.concatenate(idx_list))
+            flat, radii = jax.device_get(_drain(pbuf, dbf, gidx))
+            flat = np.asarray(flat)
+            radii = np.asarray(radii)
+            pos = 0
+            for (lane, ln) in meta:
+                f = flat[pos: pos + ln]
+                rr = radii[pos: pos + ln]
+                pos += ln
+                verts = np.stack(np.unravel_index(f, vol_shape), axis=-1)
+                # device rows run target->rail; reference rail-first order
+                verts = verts[::-1] - job_off[lane]
+                per_lane.setdefault(lane, []).append(
+                    (verts.astype(np.int64), rr[::-1]))
+        return actives
 
     iter_statics = dict(
         groups=groups, anisotropy=anis, r_ball=r_ball, r_warm=r_warm,
         fix_branching=bool(fix_branching), L=L)
-    for it in range(K_ITER):
-        (valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
-         stats, nc_mask) = progcache.call(
-            "gengine_iteration", _iteration, iter_statics,
-            valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
-            jnp.int32(it),
-            daf, dbf, cc_x, cc_y, cc_z, cc16,
-            offs_d, lids_d, roots_h,
-            before_d, after_d, mp_d,
-            jnp.float32(scale), jnp.float32(const))
-        pending.append((it, stats, nc_mask))
-        # stay one iteration ahead of the flag fetch: check it-1 while
-        # iteration `it` runs on device
-        if len(pending) >= 2:
-            pit, pstats, pmask = pending.pop(0)
-            n_act = _land(pit, pstats, pmask)
+
+    it = 0
+    while True:
+        seg_rows = 0
+        for it_w in range(K_ITER):
+            (valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
+             stats, ball_d, ok) = progcache.call(
+                "gengine_iteration", _iteration, iter_statics,
+                valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
+                jnp.int32(it), jnp.int32(it_w),
+                daf, dbf, cc_x, cc_y, cc_z, cc16,
+                offs_d, lids_d, roots_h,
+                before_d, after_d, mp_d,
+                jnp.float32(scale), jnp.float32(const))
+            it += 1
+            seg_rows = it_w + 1
+            n_act, ncb, ncr = (
+                int(v) for v in np.asarray(jax.device_get(stats)))
+            # convergence repair (instead of the old taint-on-nonconv):
+            # winding components can need more relax rounds than the
+            # static per-iteration budget; warm continuations deepen the
+            # ball and rail fields in place. Re-applying a deeper ball to
+            # `valid` is monotone (the negative set only grows), and the
+            # next iteration reads the repaired fields.
+            if ncb > 0:
+                stages = 0
+                while ncb > 0 and stages < EXTRA_ROUND_STAGES:
+                    ball_d, bmask, ncb_d = progcache.call(
+                        "gengine_ball_cont", _ball_cont,
+                        dict(anisotropy=anis, rounds=4),
+                        ball_d, cc_x, cc_y, cc_z, ok)
+                    ncb = int(ncb_d)
+                    stages += 1
+                    repairs += 1
+                if ncb > 0:
+                    taint_nc[:] |= np.asarray(jax.device_get(progcache.call(
+                        "gengine_nc_reduce", _nc_reduce,
+                        dict(groups=groups),
+                        bmask, cc16, offs_d, lids_d)))
+                valid = progcache.call(
+                    "gengine_apply_ball", _apply_ball, {}, valid, ball_d)
+            del ball_d, ok
+            if ncr > 0:
+                stages = 0
+                while ncr > 0 and stages < EXTRA_ROUND_STAGES:
+                    d_rail, rmask, ncr_d = progcache.call(
+                        "gengine_relax_cont", _relax_cont,
+                        dict(anisotropy=anis, rounds=4, mode="node"),
+                        d_rail, cc_x, cc_y, cc_z, pdrf)
+                    ncr = int(ncr_d)
+                    stages += 1
+                    repairs += 1
+                if ncr > 0:
+                    taint_nc[:] |= np.asarray(jax.device_get(progcache.call(
+                        "gengine_nc_reduce", _nc_reduce,
+                        dict(groups=groups),
+                        rmask, cc16, offs_d, lids_d)))
+            if debug:
+                print(f"[gengine] it={it - 1} n_act={n_act} ncb={ncb} "
+                      f"ncr={ncr} taint_nc={int(taint_nc.sum())} "
+                      f"t={_time.perf_counter():.1f}", flush=True)
             if n_act == 0:
-                last_it = pit + 1
                 break
-            if n_act <= bail_n and pit >= 2:
-                # iteration pit+1 is already in flight; labels still
-                # active after it are tainted below and finish in the
-                # crop engine
-                last_it = pit + 2
+            if bail_n and n_act <= bail_n and it >= 3:
+                # labels still active are tainted below (capacity) and
+                # finish in the crop engine
                 bailed = True
                 break
-    for pit, pstats, pmask in pending:
-        if pit < last_it:
-            n_act = _land(pit, pstats, pmask)
-            if n_act == 0:
-                last_it = min(last_it, pit + 1)
-    del pending
+        last_actives = _drain_segment(path_buf, len_buf)
+        if n_act == 0 or bailed:
+            break
+        seg += 1
+        if seg >= max_segs:
+            break
+        path_buf = jnp.full((K_ITER, N, L), -1, dtype=jnp.int32)
+        len_buf = jnp.zeros((K_ITER, N, 3), dtype=jnp.int16)
 
     profiling.count("gengine_loop_ms",
                     int(1000 * (_time.perf_counter() - _t_loop)))
+    profiling.count("gengine_repairs", repairs)
+    profiling.count("gengine_segments", seg + 1)
     _t_drain = _time.perf_counter()
-
-    # --- drain
-    lens = np.asarray(jax.device_get(len_buf))  # (K_ITER, N, 3) i16
-    plens = lens[:, :, 0].astype(np.int64)
-    actives = lens[:, :, 1].astype(bool)
-    overflows = lens[:, :, 2].astype(bool)
 
     # taint causes, tracked separately (VERDICT r3 item 8: the re-trace
     # tax was a single opaque counter)
     t_setup = setup_taint & live
     t_nonconv = taint_nc & live
-    t_overflow = overflows.any(axis=0) & live
+    t_over = t_overflow & live
     t_capacity = np.zeros(N, dtype=bool)
-    if bailed or last_it >= K_ITER:
-        # conservatively re-run every label still working at the final
-        # dispatched iteration (it may have needed more paths)
-        t_capacity = actives[min(last_it, K_ITER) - 1] & live
-    tainted = t_setup | t_nonconv | t_overflow | t_capacity
+    if n_act > 0:
+        # still active when the loop stopped (bail or max_segs exhausted)
+        t_capacity = last_actives[max(seg_rows, 1) - 1] & live
+    tainted = t_setup | t_nonconv | t_over | t_capacity
     if debug:
-        print(f"[gengine] drain: N={N} last_it={last_it} bailed={bailed} "
-              f"setup_taint={int(setup_taint.sum())} "
+        print(f"[gengine] drain: N={N} it={it} segs={seg + 1} "
+              f"bailed={bailed} setup_taint={int(setup_taint.sum())} "
               f"taint_nc={int(taint_nc.sum())} "
-              f"overflow={int(overflows.any(axis=0).sum())} "
-              f"still_active={int(actives[min(last_it, K_ITER) - 1].sum())} "
+              f"overflow={int(t_over.sum())} "
+              f"capacity={int(t_capacity.sum())} "
               f"tainted={int(tainted.sum())}", flush=True)
 
-    # gather indices for live path rows (iteration-major)
-    keep = actives.copy()
-    keep[:, tainted] = False
-    keep &= plens > 0
-    idx_list = []
-    meta = []  # (label_idx, iteration, length)
-    for it in range(min(last_it, K_ITER)):
-        for n in np.nonzero(keep[it])[0]:
-            ln = int(plens[it, n])
-            base = (it * N + n) * L
-            idx_list.append(np.arange(base, base + ln, dtype=np.int64))
-            meta.append((n, it, ln))
-
+    # --- final assembly
     results: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
-    if idx_list:
-        gidx = jnp.asarray(np.concatenate(idx_list))
-        flat, radii = jax.device_get(_drain(path_buf, dbf, gidx))
-        flat = np.asarray(flat)
-        radii = np.asarray(radii)
-
-        from .engine import _paths_structurally_valid
-
-        pos = 0
-        per_label: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
-        for (n, it, ln) in meta:
-            f = flat[pos: pos + ln]
-            r = radii[pos: pos + ln]
-            pos += ln
-            verts = np.stack(np.unravel_index(f, vol_shape), axis=-1)
-            # device rows run target->rail; reference rail-first order
-            verts = verts[::-1] - job_off[n]
-            r = r[::-1]
-            per_label.setdefault(n, []).append((verts.astype(np.int64), r))
-
-        t_struct = np.zeros(N, dtype=bool)
-        for n, paths in per_label.items():
-            if not _paths_structurally_valid(paths):
-                tainted[n] = True
-                t_struct[n] = True
-                continue
-            results[int(lids[n])] = paths
-        profiling.count("gengine_taint_structural", int(t_struct.sum()))
-        if debug:
-            print(f"[gengine] structural fails: {int(t_struct.sum())}; "
-                  f"final tainted={int(tainted.sum())}", flush=True)
-
-    for n in np.nonzero(tainted)[0]:
-        if eligible[n] is None:
+    t_struct = np.zeros(N, dtype=bool)
+    for lane, paths in per_lane.items():
+        if tainted[lane] or eligible[lane] is None:
             continue
-        results.pop(int(lids[n]), None)
-        leftover.append(eligible[n])
+        if not _paths_structurally_valid(paths):
+            tainted[lane] = True
+            t_struct[lane] = True
+            continue
+        results[int(lids[lane])] = paths
+    profiling.count("gengine_taint_structural", int(t_struct.sum()))
+    if debug and t_struct.any():
+        print(f"[gengine] structural fails: {int(t_struct.sum())}; "
+              f"final tainted={int(tainted.sum())}", flush=True)
+
+    for n_i in np.nonzero(tainted)[0]:
+        if eligible[n_i] is None:
+            continue
+        results.pop(int(lids[n_i]), None)
+        leftover.append(eligible[n_i])
 
     n_tainted = int((tainted & live).sum())
     profiling.count("gengine_drain_ms",
@@ -889,7 +965,7 @@ def trace_global(
     profiling.count("gengine_fallback", n_tainted)
     profiling.count("gengine_taint_setup", int(t_setup.sum()))
     profiling.count("gengine_taint_nonconv", int(t_nonconv.sum()))
-    profiling.count("gengine_taint_overflow", int(t_overflow.sum()))
+    profiling.count("gengine_taint_overflow", int(t_over.sum()))
     profiling.count("gengine_taint_capacity", int(t_capacity.sum()))
 
     return results, leftover

@@ -343,19 +343,22 @@ def one_round(d, cc_v: MaskViews, nc_v: Optional[MaskViews],
 def relax_full(d, cc_v: MaskViews, nc_v, ok_v, anisotropy, rounds: int,
                mode: str = "euclid", clamp_positive: bool = False,
                conv: str = "exact", return_mask: bool = False):
-    """`rounds` full rounds with a static trip count, then one extra round
-    that doubles as the convergence check (same contract as
-    ops.fused_trace._relax_rounds — data-dependent while fixpoints
-    miscompile on the tunneled TPU backend). Returns (d, converged), or
-    (d, changed_mask) with the per-voxel last-round change mask when
-    `return_mask` — callers reduce it per label (cc partitions the
-    foreground, so a change at a voxel taints exactly that voxel's label)."""
+    """`rounds` full rounds with a static trip count; the LAST round
+    doubles as the convergence check (a round that changes nothing proves
+    the fixpoint, so no separate +1 round is spent — 6 fewer sweeps per
+    relax than the old rounds+1 contract). Data-dependent while fixpoints
+    miscompile on the tunneled TPU backend, hence the static trip count
+    with host-side escalation on an unconverged mask. Returns
+    (d, converged), or (d, changed_mask) with the per-voxel last-round
+    change mask when `return_mask` — callers reduce it per label (cc
+    partitions the foreground, so a change at a voxel taints exactly that
+    voxel's label)."""
 
     def body(dd, _):
         return one_round(dd, cc_v, nc_v, ok_v, anisotropy, mode,
                          clamp_positive), None
 
-    d1, _ = jax.lax.scan(body, d, None, length=int(rounds))
+    d1, _ = jax.lax.scan(body, d, None, length=max(int(rounds), 1) - 1)
     nd = one_round(d1, cc_v, nc_v, ok_v, anisotropy, mode, clamp_positive)
     if conv == "reach":
         mask = jnp.isfinite(nd) != jnp.isfinite(d1)

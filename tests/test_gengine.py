@@ -182,6 +182,39 @@ def test_tiered_argmax_groups_match_crop_engine():
     _assert_same(a, b)
 
 
+def test_segmented_path_buffer_no_retrace(monkeypatch):
+    """A label needing more paths than one K_ITER-row buffer must finish
+    inside the gengine via segment drains (VERDICT r3 item 8: capacity
+    used to taint the label and re-trace it in the crop engine, wasting
+    the finished paths) — identical output to the crop engine, zero
+    fallback jobs, >= 2 segments."""
+    from kimimaro_tpu import gengine
+    from kimimaro_tpu.utils import profiling
+
+    monkeypatch.setattr(gengine, "K_ITER", 3)
+
+    # spider: 8 thin legs off a center blob; the small-const invalidation
+    # ball clears ~one leg per path, so the label needs ~8 paths > K_ITER
+    vol = np.zeros((48, 48, 12), dtype=np.uint32)
+    c = 24
+    vol[c - 2:c + 3, c - 2:c + 3, 4:9] = 1
+    for d in ((1, 0), (0, 1), (-1, 0), (0, -1),
+              (1, 1), (1, -1), (-1, 1), (-1, -1)):
+        for s in range(3, 17):
+            vol[c + d[0] * s, c + d[1] * s, 6] = 1
+    vol[2:7, 2:7, 2:7] = 2  # second label (global pass needs >= 2)
+
+    profiling.reset_stats()
+    profiling.collect(True)
+    a = _skels(vol, True, fix_borders=False)
+    profiling.collect(False)
+    counters = profiling.get_stats()["counters"]
+    b = _skels(vol, False, fix_borders=False)
+    assert counters.get("gengine_fallback", 0) == 0, counters
+    assert counters.get("gengine_segments", 0) >= 2, counters
+    _assert_same(a, b)
+
+
 def test_gengine_shapes_independent_of_label_population():
     """Compile-shape hygiene (r3 VERDICT item 3): the group structure and
     chase length must depend only on the volume shape and power-of-two
