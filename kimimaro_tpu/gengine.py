@@ -52,6 +52,7 @@ from .ops.fused_trace import RELAX_ROUNDS
 from .utils import progcache
 
 INF = np.float32(np.inf)
+NEG_INF = np.float32(-np.inf)
 
 T_CAP = 16     # manual-target slots per label (same cap as the crop engine)
 K_ITER = 24    # lock-step path iterations (p90 over the dense workload: 5)
@@ -63,8 +64,10 @@ EXTRA_ROUND_STAGES = 3  # warm +rounds continuations before giving up
 # a new bbox distribution used to mean minutes of fresh XLA compiles at
 # 512^3 (the r3 bench died recompiling for the second workload). Labels
 # land in the smallest tier whose crop holds their bbox; larger bboxes
-# ride the crop engine.
-G_CROP_MENU = (16, 32, 64, 128, 256)
+# ride the crop engine. The 48/96/192 intermediate tiers cut the gather
+# traffic of the per-label argmaxes ~2x on the dense workload (its bbox
+# population sat just past the 64 boundary, paying 128^3 per label).
+G_CROP_MENU = (16, 32, 48, 64, 96, 128, 192, 256)
 
 
 def _pow2_at_least(n: int) -> int:
@@ -361,25 +364,45 @@ def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
     return roots, daf, mask, jnp.sum(mask, dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "groups", "anisotropy", "rounds", "pdrf_exponent"))
-def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
-                     roots, live, pdrf_scale, groups, anisotropy, rounds,
-                     pdrf_exponent):
-    """PDRF from the DBF + DAF (reference trace.py:315-356, exact crop
-    engine formula engine._one_label) and the initial rail field."""
+@functools.partial(jax.jit, static_argnames=("anisotropy", "rounds"))
+def _broadcast_phase(daf, dbf, cc_x, cc_y, cc_z, anisotropy, rounds):
+    """Per-label scalar broadcasts as maxflood sweeps: per-voxel label-max
+    of dbf^1.01 (the PDRF M term, reference trace.py:329-336) and of DAF
+    (the normalization term). A 134M-element table gather costs ~1.19s on
+    the v5e (measured; TPU gathers are scalar-unit work), so the old
+    m_table[cc] / inv_maxdaf[cc] broadcasts dominated this phase; two
+    maxflood relaxes are bandwidth-bound sweeps instead. Computing
+    dbf_max^1.01 on device also matches the crop engine's in-kernel M
+    bit-for-bit (engine._one_label)."""
     cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
     fg = cc_x > 0
     daf = jnp.where(jnp.isfinite(daf), daf, 0.0)
+    dbfp = jnp.where(fg, jnp.power(dbf, np.float32(1.01)), NEG_INF)
+    m_fl, mask_m = gsweep.relax_full(dbfp, cc_v, None, None, anisotropy,
+                                     rounds, mode="maxflood",
+                                     return_mask=True)
+    d0 = jnp.where(fg, daf, NEG_INF)
+    d_fl, mask_d = gsweep.relax_full(d0, cc_v, None, None, anisotropy,
+                                     rounds, mode="maxflood",
+                                     return_mask=True)
+    return (daf, m_fl, mask_m, jnp.sum(mask_m, dtype=jnp.int32),
+            d_fl, mask_d, jnp.sum(mask_d, dtype=jnp.int32))
 
-    # per-label max DAF (normalization term) via crop argmax
-    packed = jnp.where(fg, daf, -INF)
-    _, max_daf = _grouped_argmax(packed, cc16, offs, lids, groups)
-    inv_maxdaf = jnp.where(max_daf > 0, 1.0 / jnp.maximum(max_daf, 1e-30),
-                           0.0)
-    # broadcast per-label scalars to voxels through the compact cc id
-    m_vol = m_table[cc_x]
-    imd_vol = jnp.zeros_like(m_table).at[lids].set(inv_maxdaf)[cc_x]
+
+@functools.partial(jax.jit, static_argnames=("anisotropy", "rounds",
+                                              "pdrf_exponent"))
+def _pdrf_rail_phase(daf, dbf, m_fl, d_fl, cc_x, cc_y, cc_z,
+                     roots, live, pdrf_scale, anisotropy, rounds,
+                     pdrf_exponent):
+    """PDRF from the DBF + DAF (reference trace.py:315-356, exact crop
+    engine formula engine._one_label) and the initial rail field. m_fl /
+    d_fl are the _broadcast_phase maxflood volumes (per-voxel label-max
+    of dbf^1.01 and DAF)."""
+    cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
+    fg = cc_x > 0
+
+    m_vol = jnp.where(fg, 1.0 / jnp.maximum(m_fl, 1e-30), 0.0)
+    imd_vol = jnp.where(d_fl > 0, 1.0 / jnp.maximum(d_fl, 1e-30), 0.0)
 
     dbf_inf = jnp.where(dbf == 0, INF, dbf)
     p = 1.0 - dbf_inf * m_vol
@@ -402,7 +425,7 @@ def _pdrf_rail_phase(daf, dbf, m_table, cc_x, cc_y, cc_z, cc16, offs, lids,
     nc_v = gsweep.MaskViews(pdrf)
     d_rail, mask = gsweep.relax_full(d0, cc_v, nc_v, None, anisotropy,
                                      rounds, mode="node", return_mask=True)
-    return daf, pdrf, d_rail, mask, jnp.sum(mask, dtype=jnp.int32)
+    return pdrf, d_rail, mask, jnp.sum(mask, dtype=jnp.int32)
 
 
 @functools.partial(
@@ -610,8 +633,13 @@ def trace_global(
     live = np.array([j is not None for j in lane_jobs])
     L = max(2 * sum(crop_max), 64)
     r_main = RELAX_ROUNDS
-    r_ball = max(3, r_main // 2)
-    r_warm = max(2, r_main // 3)
+    r_ball = int(os.environ.get("KIMIMARO_TPU_GENGINE_RBALL",
+                                str(max(3, r_main // 2))))
+    # 3 = the old effective depth (rounds+1 contract); at 2 the dense
+    # 512^3 rail leaves ~52k voxels unconverged at it=0 and every
+    # iteration pays a repair continuation instead
+    r_warm = int(os.environ.get("KIMIMARO_TPU_GENGINE_RWARM",
+                                str(max(3, (r_main + 2) // 3))))
 
     # --- host-side job arrays (global frame)
     lids = np.zeros(N, dtype=np.int32)
@@ -664,21 +692,6 @@ def trace_global(
             axis=-1)
         firstvox = np.where(live[:, None], firstvox, 0)
     firstvox = firstvox.astype(np.int32)
-
-    # PDRF per-label M (reference trace.py:329-333: M = dbf_max ** 1.01);
-    # eligibility required a host-known dbf max, and non-soma labels never
-    # refill, so the job's value equals the in-kernel max the crop engine
-    # would recompute. Table length quantizes to a power of two so the
-    # phase's compile shape doesn't track the exact label count.
-    n_tab = _pow2_at_least(int(np.max(lids)) + 1)
-    m_table = np.zeros(n_tab, dtype=np.float32)
-    for i, job in enumerate(eligible):
-        if job is None:
-            continue
-        dmx = np.float32(job["dbfmax"])
-        m_table[lids[i]] = np.float32(1.0) / np.power(
-            np.maximum(dmx, np.float32(1e-30)), np.float32(1.01),
-            dtype=np.float32)
 
     # --- device arrays
     cc_x = cc_dev.astype(jnp.int32)
@@ -744,12 +757,22 @@ def trace_global(
     daf = _continue_until(daf, mask, n_chg, phase="daf")
     del probe
 
-    daf, pdrf, d_rail, mask, n_chg = progcache.call(
+    (daf, m_fl, mask_m, n_chg_m, d_fl, mask_d, n_chg_d) = progcache.call(
+        "gengine_broadcast", _broadcast_phase,
+        dict(anisotropy=anis, rounds=r_main),
+        daf, dbf, cc_x, cc_y, cc_z)
+    m_fl = _continue_until(m_fl, mask_m, n_chg_m, mode="maxflood",
+                           phase="m_broadcast")
+    d_fl = _continue_until(d_fl, mask_d, n_chg_d, mode="maxflood",
+                           phase="daf_broadcast")
+
+    pdrf, d_rail, mask, n_chg = progcache.call(
         "gengine_pdrf_rail", _pdrf_rail_phase,
-        dict(groups=groups, anisotropy=anis, rounds=r_main,
+        dict(anisotropy=anis, rounds=r_main,
              pdrf_exponent=pdrf_exponent),
-        daf, dbf, jnp.asarray(m_table), cc_x, cc_y, cc_z, cc16,
-        offs_d, lids_d, roots, live_d, jnp.float32(pdrf_scale))
+        daf, dbf, m_fl, d_fl, cc_x, cc_y, cc_z,
+        roots, live_d, jnp.float32(pdrf_scale))
+    del m_fl, d_fl
     d_rail = _continue_until(d_rail, mask, n_chg, mode="node",
                              nodecost=pdrf, phase="rail")
 

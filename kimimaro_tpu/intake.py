@@ -482,27 +482,41 @@ def format_labels(labels, in_place: bool = False) -> np.ndarray:
     return labels
 
 
-def _rle_decode(starts, values, size: int, shape):
-    """Device-side RLE decode: run id per voxel via scatter+cumsum, then a
-    monotone gather of run values (starts are strictly increasing flat
-    indices with starts[0] == 0)."""
+def _rle_decode(lengths_u8, values, size: int, shape):
+    """Device-side RLE decode from u8 run lengths: exclusive-cumsum run
+    starts, run id per voxel via scatter+cumsum, then a monotone gather of
+    run values (every length >= 1, so starts are strictly increasing with
+    starts[0] == 0)."""
     import functools
 
     @functools.partial(jax.jit, static_argnames=("size", "shape"))
-    def _decode(starts, values, size, shape):
+    def _decode(lengths_u8, values, size, shape):
+        ln = lengths_u8.astype(jnp.int32)
+        starts = jnp.cumsum(ln) - ln
+        if values.dtype.itemsize <= 2:
+            # gather-free decode: scatter value DELTAS at run starts and
+            # integrate — a 134M-element `values[run_id]` gather costs
+            # ~1s-class time on TPU, a cumsum is bandwidth-bound
+            vi = values.astype(jnp.int32)
+            deltas = jnp.concatenate([vi[:1], vi[1:] - vi[:-1]])
+            acc = jnp.zeros((size,), dtype=jnp.int32).at[starts].add(deltas)
+            return jnp.cumsum(acc).astype(values.dtype).reshape(shape)
         ones = jnp.zeros((size,), dtype=jnp.int32).at[starts].set(1)
         run_id = jnp.cumsum(ones) - 1
         return values[run_id].reshape(shape)
 
-    return _decode(starts, values, size, shape)
+    return _decode(lengths_u8, values, size, shape)
 
 
 def _upload_labels(upload: np.ndarray):
     """Host->device transfer of the labels volume. The tunnel moves
-    ~30-130 MB/s, so for run-heavy segmentation volumes shipping RLE
-    (starts u32 + values) and decoding on device beats the raw array;
-    falls back to the raw transfer when runs are short (worst case, random
-    labels, would otherwise ship 2x the raw bytes)."""
+    ~10-130 MB/s, so for run-heavy segmentation volumes shipping RLE and
+    decoding on device beats the raw array; falls back to the raw transfer
+    when runs are short (worst case, random labels, would otherwise ship
+    more than the raw bytes). Runs are shipped as u8 LENGTHS (runs longer
+    than 255 split into same-value runs) + values — 3 bytes/run for u16
+    volumes vs 6 for the old u32-starts layout; the measured 512^3 dense
+    benchmark transfer is the bench's single largest fixed cost."""
     from .utils import profiling
 
     if upload.size < (1 << 22) or upload.size >= (1 << 32):
@@ -514,17 +528,32 @@ def _upload_labels(upload: np.ndarray):
     change = np.empty(flat.shape, dtype=bool)
     change[0] = True
     np.not_equal(flat[1:], flat[:-1], out=change[1:])
-    starts = np.flatnonzero(change).astype(np.uint32)
-    rle_bytes = starts.size * (4 + flat.dtype.itemsize)
+    starts = np.flatnonzero(change)
+    runlen = np.diff(starts, append=flat.size)
+
+    # split runs > 255 so lengths fit u8 (rare: adds ~0.1% runs on the
+    # benchmark volumes)
+    reps = (runlen + 254) // 255
+    total = int(reps.sum())
+    rle_bytes = total * (1 + flat.dtype.itemsize)
     if rle_bytes >= 0.6 * flat.nbytes:
         profiling.count("upload_bytes", int(flat.nbytes))
         return jnp.asarray(upload)
 
     values = flat[starts]
+    if total != starts.size:
+        idx = np.repeat(np.arange(starts.size), reps)
+        lengths = np.full(total, 255, dtype=np.uint8)
+        last = np.cumsum(reps) - 1
+        lengths[last] = (runlen - (reps - 1) * 255).astype(np.uint8)
+        values = values[idx]
+    else:
+        lengths = runlen.astype(np.uint8)
+
     profiling.count("upload_bytes", int(rle_bytes))
-    profiling.count("upload_runs", int(starts.size))
+    profiling.count("upload_runs", int(total))
     return _rle_decode(
-        jnp.asarray(starts), jnp.asarray(values), int(flat.size),
+        jnp.asarray(lengths), jnp.asarray(values), int(flat.size),
         tuple(upload.shape),
     )
 

@@ -158,6 +158,13 @@ def _banded_with_escalation(d, labels, wall, w: float, black_border: bool,
     while band < need:  # power-of-two buckets bound the compile count
         band <<= 1
     band = min(band, n - 1)
+    import os as _os
+
+    if _os.environ.get("KIMIMARO_TPU_EDT_DEBUG", "0") != "0":
+        import sys as _sys
+
+        print(f"[edt] escalate w={w} band 16 -> {band} "
+              f"(max_out={max_out:.1f})", file=_sys.stderr, flush=True)
     return _parabola_pass_banded(d, labels, wall, w, black_border, band, has_wall)
 
 
@@ -234,6 +241,12 @@ def edtsq(
 
     from .stencils import graph_allows
 
+    import os as _os
+    import time as _tm
+
+    _dbg = _os.environ.get("KIMIMARO_TPU_EDT_DEBUG", "0") != "0"
+    _t0 = _tm.perf_counter()
+
     d = jnp.full(shape, BIG, dtype=jnp.float32)
     ndim_iter = 2 if squeeze_2d else 3  # 2D: borderless singleton z axis
     first = True
@@ -271,6 +284,12 @@ def edtsq(
         # foreground lines (different label => g=0), so suppress them now:
         # this keeps the band-escalation check foreground-only.
         d = jnp.where(labels == 0, 0.0, d)
+        if _dbg:
+            d.block_until_ready()
+            import sys as _sys
+
+            print(f"[edt] axis={axis} done at +{_tm.perf_counter()-_t0:.2f}s",
+                  file=_sys.stderr, flush=True)
     if squeeze_2d:
         d = d[..., 0]
     return d

@@ -82,12 +82,15 @@ def _costs9(anis_perm) -> list:
 
 
 def _kernel_factory(costs9, mode: str, clamp_positive: bool, has_ok: bool,
-                    H: int, W: int):
-    """Grid walks the swept axis; the previously relaxed plane and its cc
-    ids ride VMEM scratch with an INF/-1 border so the nine neighbor reads
-    are static slices. At grid step 0 the scratch border values make the
-    relax a pass-through of plane 0 (the scan init carry in the crop
-    engine's sweeps — non-occupied voxels are +inf there by invariant)."""
+                    H: int, W: int, B: int, descending: bool):
+    """Grid walks the swept axis in blocks of B planes; the previously
+    relaxed plane and its cc ids ride VMEM scratch with an INF/-1 border
+    so the nine neighbor reads are static slices. At grid step 0 the
+    scratch border values make the relax a pass-through of plane 0 (the
+    scan init carry in the crop engine's sweeps — non-occupied voxels are
+    +inf there by invariant). Blocking amortizes the per-grid-step
+    sequencing/DMA overhead that dominated 1-plane steps (the sweep's
+    compute is a trivially cheap 9-point stencil)."""
     if mode == "maxflood":
         fill = NEG_INF
     elif mode == "minid":
@@ -118,40 +121,66 @@ def _kernel_factory(costs9, mode: str, clamp_positive: bool, has_ok: bool,
             prev_ref[...] = jnp.full((H + 2, W + 2), fill, vdt)
             pcc_ref[...] = jnp.full((H + 2, W + 2), -1, jnp.int32)
 
-        cur = d_ref[0]
-        ccc = cc_ref[0]
-        # minid masks by RAW labels which may bitcast negative; != 0 is
-        # the occupancy test there (cc ids are strictly positive elsewhere)
-        occupied = (ccc != 0) if mode == "minid" else (ccc > 0)
-        if has_ok:
-            occupied = occupied & (ok_ref[0] != 0)
+        # descending sweeps walk the block's planes high -> low (the
+        # block index map already reverses the block order)
+        order = range(B - 1, -1, -1) if descending else range(B)
+        for b in order:
+            cur = d_ref[b]
+            ccc = cc_ref[b]
+            # minid masks by RAW labels which may bitcast negative; != 0
+            # is the occupancy test there (cc ids are strictly positive
+            # elsewhere)
+            occupied = (ccc != 0) if mode == "minid" else (ccc > 0)
+            if has_ok:
+                occupied = occupied & (ok_ref[b] != 0)
 
-        cand = jnp.full_like(cur, fill)
-        for (dy, dz), c in costs9:
-            sv = prev_ref[1 + dy:1 + dy + H, 1 + dz:1 + dz + W]
-            sc = pcc_ref[1 + dy:1 + dy + H, 1 + dz:1 + dz + W]
-            sv = jnp.where(sc == ccc, sv, fill)
-            if mode == "euclid":
-                sv = sv + c
+            cand = jnp.full_like(cur, fill)
+            for (dy, dz), c in costs9:
+                sv = prev_ref[1 + dy:1 + dy + H, 1 + dz:1 + dz + W]
+                sc = pcc_ref[1 + dy:1 + dy + H, 1 + dz:1 + dz + W]
+                sv = jnp.where(sc == ccc, sv, fill)
+                if mode == "euclid":
+                    sv = sv + c
+                if mode == "maxflood":
+                    cand = jnp.maximum(cand, sv)
+                else:
+                    cand = jnp.minimum(cand, sv)
+            if mode == "node":
+                cand = cand + nc_ref[b]
             if mode == "maxflood":
-                cand = jnp.maximum(cand, sv)
+                new = jnp.where(occupied, jnp.maximum(cur, cand), fill)
             else:
-                cand = jnp.minimum(cand, sv)
-        if mode == "node":
-            cand = cand + nc_ref[0]
-        if mode == "maxflood":
-            new = jnp.where(occupied, jnp.maximum(cur, cand), fill)
-        else:
-            new = jnp.where(occupied, jnp.minimum(cur, cand), fill)
-            if clamp_positive and mode != "minid":
-                new = jnp.where(new > 0.0, INF, new)
-        out_ref[0] = new
-        prev_ref[1:H + 1, 1:W + 1] = new
-        # occupancy folds into the carried cc ids so blocked voxels never
-        # propagate (matches crop sweeps where non-ok voxels hold +inf)
-        pcc_ref[1:H + 1, 1:W + 1] = jnp.where(occupied, ccc, -1)
+                new = jnp.where(occupied, jnp.minimum(cur, cand), fill)
+                if clamp_positive and mode != "minid":
+                    new = jnp.where(new > 0.0, INF, new)
+            out_ref[b] = new
+            prev_ref[1:H + 1, 1:W + 1] = new
+            # occupancy folds into the carried cc ids so blocked voxels
+            # never propagate (matches crop sweeps where non-ok voxels
+            # hold +inf)
+            pcc_ref[1:H + 1, 1:W + 1] = jnp.where(occupied, ccc, -1)
 
     return kernel
+
+
+def _plane_block(n: int, H: int, W: int, n_operands: int) -> int:
+    """Planes per grid step. Measured on the v5e (512^3, 6-round euclid
+    relax): B=1 5.95 ms/sweep, B=2 5.93, B=4 6.05, B=8 6.61 — the
+    automatic double-buffering already hides the per-step DMA, so
+    blocking buys nothing and large blocks add VMEM pressure. Default 1;
+    KIMIMARO_TPU_SWEEP_BLOCK overrides for re-measurement on new
+    hardware (bounded by a VMEM budget and divisibility)."""
+    import os
+
+    want = int(os.environ.get("KIMIMARO_TPU_SWEEP_BLOCK", "1"))
+    if want <= 1:
+        return 1
+    budget = 24 * 1024 * 1024
+    for cand in (want, 8, 4, 2):
+        if cand >= 2 and n % cand == 0 \
+                and cand * H * W * 4 * n_operands <= budget:
+            return cand
+    return 1
 
 
 def _sweep0_pallas(d, cc, nodecost, okmask, anis_perm,
@@ -163,16 +192,20 @@ def _sweep0_pallas(d, cc, nodecost, okmask, anis_perm,
     n, H, W = d.shape
     costs9 = _costs9(anis_perm)
     has_ok = okmask is not None
-    kernel = _kernel_factory(costs9, mode, clamp_positive, has_ok, H, W)
+    n_operands = 3 + (mode == "node") + has_ok
+    B = _plane_block(n, H, W, n_operands)
+    kernel = _kernel_factory(costs9, mode, clamp_positive, has_ok, H, W,
+                             B, descending)
+    nb = n // B
 
     if descending:
         def imap(i):
-            return (n - 1 - i, 0, 0)
+            return (nb - 1 - i, 0, 0)
     else:
         def imap(i):
             return (i, 0, 0)
 
-    spec = pl.BlockSpec((1, H, W), imap)
+    spec = pl.BlockSpec((B, H, W), imap)
     ins = [d, cc]
     in_specs = [spec, spec]
     if mode == "node":
@@ -185,7 +218,7 @@ def _sweep0_pallas(d, cc, nodecost, okmask, anis_perm,
     vdt = jnp.int32 if mode == "minid" else jnp.float32
     return pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(nb,),
         in_specs=in_specs,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((n, H, W), vdt),

@@ -270,17 +270,17 @@ t0 = time.perf_counter()
 outs = gengine._iteration(
     state["valid"], state["pdrf"], state["d_rail"], state["nb"],
     state["na"], state["done"], state["path_buf"], state["len_buf"],
-    jnp.int32(0), daf, dbf, cc_x, cc_y, cc_z, cc16, offs_d, lids_d, roots,
+    jnp.int32(0), jnp.int32(0), daf, dbf, cc_x, cc_y, cc_z, cc16, offs_d, lids_d, roots,
     before_d, after_d, mp_d, jnp.float32(1.5), jnp.float32(300.0),
     **iter_statics)
 jax.block_until_ready(outs)
 print(f"fused _iteration (incl compile): {time.perf_counter()-t0:.1f} s")
 (valid2, pdrf2, d_rail2, nb2, na2, done2, path_buf2, len_buf2,
- stats, nc_mask) = outs
+ stats, ball_d_o, ok_o) = outs
 t0 = time.perf_counter()
 outs2 = gengine._iteration(
     valid2, pdrf2, d_rail2, nb2, na2, done2, path_buf2, len_buf2,
-    jnp.int32(1), daf, dbf, cc_x, cc_y, cc_z, cc16, offs_d, lids_d, roots,
+    jnp.int32(1), jnp.int32(1), daf, dbf, cc_x, cc_y, cc_z, cc16, offs_d, lids_d, roots,
     before_d, after_d, mp_d, jnp.float32(1.5), jnp.float32(300.0),
     **iter_statics)
 jax.block_until_ready(outs2)
