@@ -323,28 +323,6 @@ def _relax_cont(d, cc_x, cc_y, cc_z, nodecost, anisotropy, rounds, mode):
     return d, mask, jnp.sum(mask, dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("anisotropy", "rounds"),
-                   donate_argnums=(0,))
-def _ball_cont(d, cc_x, cc_y, cc_z, ok, anisotropy, rounds):
-    """Warm continuation of an iteration's rolling-ball relax (euclid,
-    positive-clamped, occupancy-restricted): more rounds on the existing
-    field so an under-converged invalidation is repaired instead of
-    tainting the label."""
-    cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
-    ok_v = gsweep.MaskViews(ok)
-    d, mask = gsweep.relax_full(d, cc_v, None, ok_v, anisotropy, rounds,
-                                mode="euclid", clamp_positive=True,
-                                conv="negative", return_mask=True)
-    return d, mask, jnp.sum(mask, dtype=jnp.int32)
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _apply_ball(valid, ball_d):
-    """Re-apply a repaired (deeper) ball to the valid mask — monotone:
-    the continuation only grows the negative set."""
-    return jnp.where(ball_d <= 0.0, 0, valid).astype(valid.dtype)
-
-
 @functools.partial(jax.jit, static_argnames=("groups", "anisotropy",
                                               "rounds"))
 def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
@@ -449,9 +427,10 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
     `it` is the GLOBAL path index (max_paths accounting); `it_w` is the
     segment-local write row in path_buf/len_buf (the host drains and
     reuses the K_ITER-row buffers when a label outlives one segment).
-    Returns the ball field + occupancy so the host can REPAIR an
-    unconverged invalidation with warm continuations (re-applying a
-    deeper ball to `valid` is monotone) instead of tainting the label."""
+    The ball and rail relaxes escalate ON DEVICE (cond-gated extra
+    rounds) so winding components converge without a host round-trip and
+    the loop stays pipelined; the returned change masks cover only the
+    residue past the escalation budget (tainted by the host)."""
     vol_shape = daf.shape
     cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
     N = lids.shape[0]
@@ -494,9 +473,10 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
     ball0 = ball0.reshape(vol_shape)
     ok = valid.ravel().at[pf].max(pmask.astype(valid.dtype)).reshape(vol_shape)
     ok_v = gsweep.MaskViews(ok)
-    ball_d, ball_mask = gsweep.relax_full(
+    ball_d, ball_mask = gsweep.relax_escalated(
         ball0, cc_v, None, ok_v, anisotropy, r_ball, mode="euclid",
-        clamp_positive=True, conv="negative", return_mask=True)
+        clamp_positive=True, conv="negative",
+        extra_stages=EXTRA_ROUND_STAGES, extra_rounds=4)
     ball = ball_d <= 0.0
     valid = jnp.where(ball, 0, valid).astype(valid.dtype)
 
@@ -506,11 +486,12 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
         pdrf = pdrf.ravel().at[pf].min(zero).reshape(vol_shape)
         d_rail = d_rail.ravel().at[pf].min(zero).reshape(vol_shape)
         nc_v = gsweep.MaskViews(pdrf)
-        d_rail, rail_mask = gsweep.relax_full(
+        d_rail, rail_mask = gsweep.relax_escalated(
             d_rail, cc_v, nc_v, None, anisotropy, r_warm, mode="node",
-            return_mask=True)
+            extra_stages=EXTRA_ROUND_STAGES, extra_rounds=4)
         n_chg_rail = jnp.sum(rail_mask, dtype=jnp.int32)
     else:
+        rail_mask = jnp.zeros(vol_shape, dtype=bool)
         n_chg_rail = jnp.int32(0)
 
     # --- bookkeeping
@@ -527,7 +508,7 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
                        jnp.sum(ball_mask, dtype=jnp.int32),
                        n_chg_rail])
     return (valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
-            stats, ball_d, ok)
+            stats, ball_mask, rail_mask)
 
 
 @jax.jit
@@ -809,7 +790,6 @@ def trace_global(
     taint_nc = np.zeros(N, dtype=bool)
     bailed = False
     n_act = -1
-    repairs = 0
     seg = 0
     seg_rows = 0
 
@@ -859,12 +839,34 @@ def trace_global(
         groups=groups, anisotropy=anis, r_ball=r_ball, r_warm=r_warm,
         fix_branching=bool(fix_branching), L=L)
 
+    def _land(pit, pstats, pbmask, prmask):
+        """Fetch a landed iteration's flags; taint labels whose ball/rail
+        relax still changed past the ON-DEVICE escalation budget (rare:
+        cond-gated extra rounds inside _iteration cover winding
+        components). Returns the iteration's active count."""
+        n_act, ncb, ncr = (
+            int(v) for v in np.asarray(jax.device_get(pstats)))
+        if ncb > 0:
+            taint_nc[:] |= np.asarray(jax.device_get(progcache.call(
+                "gengine_nc_reduce", _nc_reduce, dict(groups=groups),
+                pbmask, cc16, offs_d, lids_d)))
+        if ncr > 0:
+            taint_nc[:] |= np.asarray(jax.device_get(progcache.call(
+                "gengine_nc_reduce", _nc_reduce, dict(groups=groups),
+                prmask, cc16, offs_d, lids_d)))
+        if debug:
+            print(f"[gengine] it={pit} n_act={n_act} ncb={ncb} ncr={ncr} "
+                  f"taint_nc={int(taint_nc.sum())} "
+                  f"t={_time.perf_counter():.1f}", flush=True)
+        return n_act
+
     it = 0
     while True:
         seg_rows = 0
+        pending = []  # (global_it, stats, ball_mask, rail_mask)
         for it_w in range(K_ITER):
             (valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
-             stats, ball_d, ok) = progcache.call(
+             stats, ball_mask, rail_mask) = progcache.call(
                 "gengine_iteration", _iteration, iter_statics,
                 valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
                 jnp.int32(it), jnp.int32(it_w),
@@ -874,58 +876,23 @@ def trace_global(
                 jnp.float32(scale), jnp.float32(const))
             it += 1
             seg_rows = it_w + 1
-            n_act, ncb, ncr = (
-                int(v) for v in np.asarray(jax.device_get(stats)))
-            # convergence repair (instead of the old taint-on-nonconv):
-            # winding components can need more relax rounds than the
-            # static per-iteration budget; warm continuations deepen the
-            # ball and rail fields in place. Re-applying a deeper ball to
-            # `valid` is monotone (the negative set only grows), and the
-            # next iteration reads the repaired fields.
-            if ncb > 0:
-                stages = 0
-                while ncb > 0 and stages < EXTRA_ROUND_STAGES:
-                    ball_d, bmask, ncb_d = progcache.call(
-                        "gengine_ball_cont", _ball_cont,
-                        dict(anisotropy=anis, rounds=4),
-                        ball_d, cc_x, cc_y, cc_z, ok)
-                    ncb = int(ncb_d)
-                    stages += 1
-                    repairs += 1
-                if ncb > 0:
-                    taint_nc[:] |= np.asarray(jax.device_get(progcache.call(
-                        "gengine_nc_reduce", _nc_reduce,
-                        dict(groups=groups),
-                        bmask, cc16, offs_d, lids_d)))
-                valid = progcache.call(
-                    "gengine_apply_ball", _apply_ball, {}, valid, ball_d)
-            del ball_d, ok
-            if ncr > 0:
-                stages = 0
-                while ncr > 0 and stages < EXTRA_ROUND_STAGES:
-                    d_rail, rmask, ncr_d = progcache.call(
-                        "gengine_relax_cont", _relax_cont,
-                        dict(anisotropy=anis, rounds=4, mode="node"),
-                        d_rail, cc_x, cc_y, cc_z, pdrf)
-                    ncr = int(ncr_d)
-                    stages += 1
-                    repairs += 1
-                if ncr > 0:
-                    taint_nc[:] |= np.asarray(jax.device_get(progcache.call(
-                        "gengine_nc_reduce", _nc_reduce,
-                        dict(groups=groups),
-                        rmask, cc16, offs_d, lids_d)))
-            if debug:
-                print(f"[gengine] it={it - 1} n_act={n_act} ncb={ncb} "
-                      f"ncr={ncr} taint_nc={int(taint_nc.sum())} "
-                      f"t={_time.perf_counter():.1f}", flush=True)
-            if n_act == 0:
-                break
-            if bail_n and n_act <= bail_n and it >= 3:
-                # labels still active are tainted below (capacity) and
-                # finish in the crop engine
-                bailed = True
-                break
+            pending.append((it - 1, stats, ball_mask, rail_mask))
+            # stay one iteration ahead of the flag fetch: land it-1 while
+            # iteration `it` runs on device
+            if len(pending) >= 2:
+                n_act = _land(*pending.pop(0))
+                if n_act == 0:
+                    break
+                if bail_n and n_act <= bail_n and it >= 3:
+                    # labels still active are tainted below (capacity)
+                    # and finish in the crop engine
+                    bailed = True
+                    break
+        for p in pending:
+            last = _land(*p)
+            if n_act != 0 and not bailed:
+                n_act = last
+        del pending, ball_mask, rail_mask
         last_actives = _drain_segment(path_buf, len_buf)
         if n_act == 0 or bailed:
             break
@@ -937,7 +904,6 @@ def trace_global(
 
     profiling.count("gengine_loop_ms",
                     int(1000 * (_time.perf_counter() - _t_loop)))
-    profiling.count("gengine_repairs", repairs)
     profiling.count("gengine_segments", seg + 1)
     _t_drain = _time.perf_counter()
 

@@ -169,6 +169,9 @@ def skeletonize(
         cc_dev, n_comp, rep_prefix = compact_cc(cc_raw)
         del cc_raw
         n_components = int(n_comp)
+        # keep phase attribution honest: without this, the compaction
+        # tail executes during the NEXT phase's wall clock
+        cc_dev.block_until_ready()
     if n_components == 0:
         return {}
 

@@ -403,3 +403,30 @@ def relax_full(d, cc_v: MaskViews, nc_v, ok_v, anisotropy, rounds: int,
     if return_mask:
         return nd, mask
     return nd, ~jnp.any(mask)
+
+
+def relax_escalated(d, cc_v: MaskViews, nc_v, ok_v, anisotropy, rounds: int,
+                    mode: str = "euclid", clamp_positive: bool = False,
+                    conv: str = "exact", extra_stages: int = 2,
+                    extra_rounds: int = 4):
+    """relax_full plus bounded ON-DEVICE escalation: each extra stage runs
+    `extra_rounds` more rounds under a lax.cond gated on the previous
+    stage's change mask, so converged volumes pay only the jnp.any
+    reduction while winding components deepen without a host round-trip
+    (keeps the gengine's lock-step loop pipelined). Data-dependent
+    while_loop fixpoints miscompile on the tunneled TPU backend; a
+    bounded chain of conds compiles correctly (validated on hardware by
+    notes/gsweep_tpu_check.py). Returns (d, changed_mask) from the LAST
+    executed stage."""
+    d, mask = relax_full(d, cc_v, nc_v, ok_v, anisotropy, rounds, mode,
+                         clamp_positive, conv, return_mask=True)
+
+    def more(args):
+        dd, _ = args
+        return relax_full(dd, cc_v, nc_v, ok_v, anisotropy,
+                          int(extra_rounds), mode, clamp_positive, conv,
+                          return_mask=True)
+
+    for _ in range(int(extra_stages)):
+        d, mask = jax.lax.cond(jnp.any(mask), more, lambda a: a, (d, mask))
+    return d, mask

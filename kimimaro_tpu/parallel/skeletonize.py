@@ -146,15 +146,19 @@ def skeletonize_sharded(
     )
     dbf_dev = jnp.sqrt(dsq)
 
-    # --- metadata on the sharded arrays (GSPMD partitions the reductions)
+    # --- metadata on the sharded arrays (GSPMD partitions the reductions);
+    # the fused per-label DBF max feeds the sharded gengine's soma
+    # eligibility split, exactly like the single-chip intake
     n_max = 1 << max(int(np.ceil(np.log2(max(n_components, 2)))), 1)
-    counts, bbmin, bbmax, orig = jax.device_get(
-        label_info(cc_dev, lab_dev, n_max=n_max, rep_prefix=rep_prefix)
+    counts, bbmin, bbmax, orig, dbfmax_arr = jax.device_get(
+        label_info(cc_dev, lab_dev, n_max=n_max, rep_prefix=rep_prefix,
+                   dbf=dbf_dev)
     )
     counts = np.asarray(counts)[: n_components + 1]
     bbmin = np.asarray(bbmin)[: n_components + 1]
     bbmax = np.asarray(bbmax)[: n_components + 1]
     orig = np.asarray(orig)[: n_components + 1]
+    dbfmax_arr = np.asarray(dbfmax_arr)[: n_components + 1]
     remapping = {i: int(orig[i]) for i in range(1, n_components + 1)}
 
     extra_targets_before = intake.points_to_labels(
@@ -198,14 +202,37 @@ def skeletonize_sharded(
         jobs.append({
             "segid": segid, "offset": mn, "shape": shape,
             "before": manual_before, "after": manual_after, "root": root,
+            "dbfmax": float(dbfmax_arr[segid]),
         })
 
-    # --- per-label tracing: every batch gathers only its labels' bbox
-    # crops off the mesh (a full-volume gather here would OOM the very
-    # host/chip the sharding exists to spare) and drives the same batched
-    # engine the single-chip path uses. The gather itself is ONE
-    # device-side dispatch per chunk (_gather_crops_sharded); pad lanes
-    # beyond n_real are zeroed like the old host loop left them.
+    # --- per-label tracing, stage 1: the SHARDED lock-step engine (the
+    # gengine's multi-chip form — parallel/gengine.py) traces every
+    # eligible label with the volume still on the mesh; only ineligible
+    # labels (soma candidates, oversized bboxes, target overflow) fall
+    # through to the gathered-crop engine below. KIMIMARO_TPU_SHARDED_
+    # GENGINE=0 restores the crop-only path.
+    import os as _os
+
+    # job offsets survive the eligibility split below (jobs is rebound to
+    # the gengine's leftovers)
+    offsets_by_segid = {j["segid"]: j["offset"] for j in jobs}
+
+    g_results: Dict[int, list] = {}
+    if _os.environ.get("KIMIMARO_TPU_SHARDED_GENGINE", "1") != "0" \
+            and len(jobs) >= 2:
+        from .gengine import trace_global_sharded
+
+        g_results, jobs = trace_global_sharded(
+            cc_dev, dbf_dev, jobs, teasar_params, anisotropy,
+            fix_branching, mesh, progress=progress,
+        )
+
+    # --- per-label tracing, stage 2: every remaining batch gathers only
+    # its labels' bbox crops off the mesh (a full-volume gather here would
+    # OOM the very host/chip the sharding exists to spare) and drives the
+    # same batched engine the single-chip path uses. The gather itself is
+    # ONE device-side dispatch per chunk (_gather_crops_sharded); pad
+    # lanes beyond n_real are zeroed like the old host loop left them.
     def crop_source(crop_offs, n_real, bshape):
         offs = np.zeros((len(crop_offs), 3), np.int32)
         offs[:n_real] = np.asarray(crop_offs[:n_real], dtype=np.int32)
@@ -220,9 +247,9 @@ def skeletonize_sharded(
         cc_dev, dbf_dev, jobs, teasar_params, anisotropy,
         fix_branching, progress=progress, crop_source=crop_source,
     )
+    results.update(g_results)
 
     skeletons = defaultdict(list)
-    offsets_by_segid = {j["segid"]: j["offset"] for j in jobs}
     for segid, path_list in results.items():
         skel = engine.paths_to_skeleton(path_list, anisotropy)
         if skel.empty():

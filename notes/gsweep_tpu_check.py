@@ -85,3 +85,44 @@ if __name__ == "__main__":
     check(S, mode="euclid", clamp=True, with_ok=True)
     check(S, mode="maxflood")
     print("ALL OK", flush=True)
+
+
+def check_escalated(S):
+    """relax_escalated (cond-gated on-device extra rounds) must equal a
+    deep relax_full fixpoint — exercises lax.cond on the axon backend
+    (while_loops miscompile there; conds must be validated on hardware)."""
+    rng = np.random.RandomState(1)
+    vol = rng.randint(0, 30, size=(S, S, max(S // 2, 8))).astype(np.int32)
+    vol[rng.rand(*vol.shape) < 0.3] = 0
+    d0 = np.full(vol.shape, np.inf, dtype=np.float32)
+    pts = rng.randint(0, min(vol.shape), size=(20, 3))
+    for p in pts:
+        d0[tuple(p)] = 0.0
+    cc_v = gsweep.MaskViews(jnp.asarray(vol))
+    dd = jnp.asarray(d0)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("rounds", "stages"))
+    def esc(d, rounds, stages):
+        out, mask = gsweep.relax_escalated(d, cc_v, None, None, ANIS,
+                                           rounds, extra_stages=stages,
+                                           extra_rounds=2)
+        return out, jnp.sum(mask, dtype=jnp.int32)
+
+    # base rounds=1 forces the cond branches to actually run
+    out_e, n_chg = esc(dd, 1, 4)
+    out_e = np.asarray(jax.device_get(out_e))
+    deep, _ = gsweep.relax_full(dd, cc_v, None, None, ANIS, 12)
+    deep = np.asarray(jax.device_get(deep))
+    match = np.array_equal(
+        np.nan_to_num(out_e, posinf=1e30),
+        np.nan_to_num(deep, posinf=1e30))
+    print(f"S={S} escalated(1+4x2) vs deep(12): match={match} "
+          f"residual n_chg={int(n_chg)}", flush=True)
+    if not match:
+        sys.exit(1)
+
+
+check_escalated(64)
+print("ESCALATED OK", flush=True)

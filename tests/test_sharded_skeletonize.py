@@ -174,10 +174,14 @@ def test_gather_crops_sharded_matches_naive(mesh_small):
 
 
 def test_sharded_crop_gather_is_batched(mesh_small, monkeypatch):
-    """The per-chunk gather must be O(1) device dispatches, not a
-    per-label host device_get loop: count host fetches of crop-sized
-    arrays during the trace stage."""
+    """The per-chunk gather of the CROP fallback path must be O(1) device
+    dispatches, not a per-label host device_get loop: count host fetches
+    of crop-sized arrays during the trace stage. (The sharded gengine now
+    handles eligible labels without any crop gather at all — disable it
+    so this test exercises the fallback path the soma/oversized labels
+    take.)"""
     mesh = mesh_small
+    monkeypatch.setenv("KIMIMARO_TPU_SHARDED_GENGINE", "0")
     labels = np.zeros((32, 24, 16), dtype=np.uint32)
     for i, (x, y) in enumerate([(2, 2), (2, 12), (12, 2), (12, 12),
                                 (22, 2), (22, 12)]):
@@ -198,3 +202,28 @@ def test_sharded_crop_gather_is_batched(mesh_small, monkeypatch):
     assert sorted(out) == [1, 2, 3, 4, 5, 6]
     # 6 same-bucket labels ride few chunks; a per-label loop would be >= 6
     assert 1 <= len(calls) < 6, calls
+
+
+def test_sharded_gengine_traces_without_crop_gather(mesh_small, monkeypatch):
+    """With the sharded gengine ON (the default), eligible labels trace
+    with ZERO crop gathers — the volume never leaves the mesh."""
+    mesh = mesh_small
+    labels = np.zeros((32, 24, 16), dtype=np.uint32)
+    for i, (x, y) in enumerate([(2, 2), (2, 12), (12, 2), (12, 12),
+                                (22, 2), (22, 12)]):
+        labels[x:x + 8, y:y + 4, 4:10] = i + 1
+
+    from kimimaro_tpu.parallel import skeletonize as sk_mod
+
+    calls = []
+    real = sk_mod._gather_crops_sharded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(sk_mod, "_gather_crops_sharded", spy)
+    out = skeletonize_sharded(
+        labels, mesh=mesh, anisotropy=(1, 1, 1), dust_threshold=10)
+    assert sorted(out) == [1, 2, 3, 4, 5, 6]
+    assert len(calls) == 0, calls
