@@ -15,6 +15,8 @@ bounded number of kernel shapes for any input.
 
 from __future__ import annotations
 
+import os
+
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence
 
@@ -520,12 +522,25 @@ def _upload_labels(upload: np.ndarray):
     than 255 split into same-value runs) + values — 3 bytes/run for u16
     volumes vs 6 for the old u32-starts layout; the measured 512^3 dense
     benchmark transfer is the bench's single largest fixed cost."""
+    import time as _tm
+
     from .utils import profiling
+
+    _dbg = os.environ.get("KIMIMARO_TPU_UPLOAD_DEBUG", "0") != "0"
+    _t0 = _tm.perf_counter()
+
+    def _note(msg):
+        if _dbg:
+            import sys as _sys
+
+            print(f"[upload] {msg} at +{_tm.perf_counter() - _t0:.2f}s",
+                  file=_sys.stderr, flush=True)
 
     if upload.size < (1 << 22) or upload.size >= (1 << 32):
         return jnp.asarray(upload)
     # device arrays are logically C-ordered; ravel() copies F-order inputs
     flat = upload.ravel()
+    _note("ravel")
 
     # boundaries of equal-value runs in C linear order
     change = np.empty(flat.shape, dtype=bool)
@@ -555,10 +570,18 @@ def _upload_labels(upload: np.ndarray):
 
     profiling.count("upload_bytes", int(rle_bytes))
     profiling.count("upload_runs", int(total))
-    return _rle_decode(
-        jnp.asarray(lengths), jnp.asarray(values), int(flat.size),
-        tuple(upload.shape),
-    )
+    _note("encode")
+    ld = jnp.asarray(lengths)
+    vd = jnp.asarray(values)
+    if _dbg:
+        ld.block_until_ready()
+        vd.block_until_ready()
+        _note("transfer")
+    out = _rle_decode(ld, vd, int(flat.size), tuple(upload.shape))
+    if _dbg:
+        out.block_until_ready()
+        _note("decode")
+    return out
 
 
 def _plan_streaming(clv, object_ids):
