@@ -542,31 +542,48 @@ def _upload_labels(upload: np.ndarray):
     flat = upload.ravel()
     _note("ravel")
 
-    # boundaries of equal-value runs in C linear order
-    change = np.empty(flat.shape, dtype=bool)
-    change[0] = True
-    np.not_equal(flat[1:], flat[:-1], out=change[1:])
-    starts = np.flatnonzero(change)
-    runlen = np.diff(starts, append=flat.size)
+    # run cap = the density past which raw bytes win anyway (the 0.6x
+    # fallback threshold below)
+    cap = int(0.6 * flat.nbytes // (1 + flat.dtype.itemsize)) + 1
 
-    # split runs > 255 so lengths fit u8 (rare: adds ~0.1% runs on the
-    # benchmark volumes)
-    reps = (runlen + 254) // 255
-    total = int(reps.sum())
-    rle_bytes = total * (1 + flat.dtype.itemsize)
+    from . import native
+
+    enc = native.rle_encode(flat, cap)
+    if enc is not None:
+        lengths, values = enc
+        total = lengths.size
+    else:
+        if enc is None and native._load() is not None \
+                and flat.dtype.itemsize in (1, 2, 4):
+            # cap overflow: run-dense volume, ship raw
+            profiling.count("upload_bytes", int(flat.nbytes))
+            return jnp.asarray(upload)
+        # numpy fallback (no native library / unusual dtype): boundaries
+        # of equal-value runs in C linear order, runs > 255 split
+        change = np.empty(flat.shape, dtype=bool)
+        change[0] = True
+        np.not_equal(flat[1:], flat[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        runlen = np.diff(starts, append=flat.size)
+        reps = (runlen + 254) // 255
+        total = int(reps.sum())
+        if total > cap:
+            profiling.count("upload_bytes", int(flat.nbytes))
+            return jnp.asarray(upload)
+        values = flat[starts]
+        if total != starts.size:
+            idx = np.repeat(np.arange(starts.size), reps)
+            lengths = np.full(total, 255, dtype=np.uint8)
+            last = np.cumsum(reps) - 1
+            lengths[last] = (runlen - (reps - 1) * 255).astype(np.uint8)
+            values = values[idx]
+        else:
+            lengths = runlen.astype(np.uint8)
+
+    rle_bytes = int(total) * (1 + flat.dtype.itemsize)
     if rle_bytes >= 0.6 * flat.nbytes:
         profiling.count("upload_bytes", int(flat.nbytes))
         return jnp.asarray(upload)
-
-    values = flat[starts]
-    if total != starts.size:
-        idx = np.repeat(np.arange(starts.size), reps)
-        lengths = np.full(total, 255, dtype=np.uint8)
-        last = np.cumsum(reps) - 1
-        lengths[last] = (runlen - (reps - 1) * 255).astype(np.uint8)
-        values = values[idx]
-    else:
-        lengths = runlen.astype(np.uint8)
 
     profiling.count("upload_bytes", int(rle_bytes))
     profiling.count("upload_runs", int(total))

@@ -50,6 +50,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
         ctypes.c_long,
     ]
+    if hasattr(lib, "kt_rle_encode"):
+        lib.kt_rle_encode.restype = ctypes.c_long
+        lib.kt_rle_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_void_p, ctypes.c_long,
+        ]
     if hasattr(lib, "kt_bbox_ids"):
         lib.kt_bbox_ids.restype = ctypes.c_long
         lib.kt_bbox_ids.argtypes = [
@@ -139,3 +145,27 @@ def create_distance_graph(vertices: np.ndarray, edges: np.ndarray):
     return {
         (int(uv[2 * i]), int(uv[2 * i + 1])): float(d[i]) for i in range(n)
     }
+
+
+def rle_encode(flat: np.ndarray, cap: int):
+    """Single-pass native RLE (u8 lengths with >255 splits + values).
+    Returns (lengths, values) or None when the library is unavailable,
+    the dtype unsupported, or the run count exceeds `cap` (the caller's
+    raw-transfer fallback threshold)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "kt_rle_encode"):
+        return None
+    flat = np.ascontiguousarray(flat)
+    esz = flat.dtype.itemsize
+    if esz not in (1, 2, 4) or flat.dtype.kind not in "iub":
+        return None
+    lengths = np.empty(cap, dtype=np.uint8)
+    values = np.empty(cap, dtype=flat.dtype)
+    n = lib.kt_rle_encode(
+        flat.ctypes.data_as(ctypes.c_void_p), flat.size, esz,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        values.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if n < 0:
+        return None
+    return lengths[:n], values[:n]

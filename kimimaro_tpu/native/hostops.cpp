@@ -216,3 +216,52 @@ long kt_bbox_ids(const void* labels_raw, long bytes,
 }
 
 }  // extern "C"
+
+/* Single-pass RLE encoder for the device upload path: equal-value runs in
+ * C linear order, emitted as (u8 length, value) with runs longer than 255
+ * split into same-value pieces (kimimaro_tpu.intake._upload_labels ships
+ * exactly this layout and integrates value deltas on device). The numpy
+ * pipeline (not_equal + flatnonzero + diff + fancy-gather) measured
+ * 2.5-4.6 s on the 512^3 benchmark's single host core; this loop is one
+ * streaming read. Returns the run count, or -1 when `cap` would overflow
+ * (the caller falls back to shipping the raw array, which it would have
+ * done anyway at that run density). */
+template <typename T>
+static long kt_rle_impl(const T* flat, long n, uint8_t* lengths, T* values,
+                        long cap) {
+  long out = 0;
+  long i = 0;
+  while (i < n) {
+    const T v = flat[i];
+    long j = i + 1;
+    while (j < n && flat[j] == v) ++j;
+    long len = j - i;
+    while (len > 0) {
+      const long take = len > 255 ? 255 : len;
+      if (out >= cap) return -1;
+      lengths[out] = static_cast<uint8_t>(take);
+      values[out] = v;
+      ++out;
+      len -= take;
+    }
+    i = j;
+  }
+  return out;
+}
+
+extern "C" long kt_rle_encode(const void* flat, long n, int esz,
+                              uint8_t* lengths, void* values, long cap) {
+  switch (esz) {
+    case 1:
+      return kt_rle_impl(reinterpret_cast<const uint8_t*>(flat), n, lengths,
+                         reinterpret_cast<uint8_t*>(values), cap);
+    case 2:
+      return kt_rle_impl(reinterpret_cast<const uint16_t*>(flat), n, lengths,
+                         reinterpret_cast<uint16_t*>(values), cap);
+    case 4:
+      return kt_rle_impl(reinterpret_cast<const uint32_t*>(flat), n, lengths,
+                         reinterpret_cast<uint32_t*>(values), cap);
+    default:
+      return -1;
+  }
+}
