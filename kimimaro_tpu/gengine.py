@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops import gsweep
+from .ops import pallas_argmax
 from .ops.fused_trace import RELAX_ROUNDS
 from .utils import progcache
 
@@ -146,16 +147,36 @@ def _unflatten_crop(idx, offs, crop):
     return offs + jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
 
 
+def _use_pallas_argmax() -> bool:
+    """Pallas streamed argmax on real TPU backends (each crop voxel read
+    once vs the XLA gather form's materialize+reduce, ~4x on the dense
+    workload's 2048-lane 96^3 tier); env override for A/B measurement.
+    Resolved at trace time; progcache keys include the env + backend."""
+    env = os.environ.get("KIMIMARO_TPU_PALLAS_ARGMAX", "auto")
+    if env in ("0", "off"):
+        return False
+    if env in ("1", "on"):
+        return True
+    return pallas_argmax.available()
+
+
 def _grouped_argmax(packed, cc16, offs, lids, groups):
     """Per-label argmax with per-GROUP gather crops: labels are pre-sorted
     so each static (start, stop, crop) group slices its own rows. One
     oversized shared crop made every label pay the biggest label's gather
     cost (8-16x waste on long-bbox neurite workloads); the fixed-menu
     tiers bound it. Returns (coords (N, 3) global, values (N,))."""
+    use_pallas = _use_pallas_argmax()
     coords, vals = [], []
     for (a, b, crop) in groups:
-        idx, val = _crop_argmax(packed, cc16, offs[a:b], lids[a:b], crop)
-        coords.append(_unflatten_crop(idx, offs[a:b], crop))
+        if use_pallas:
+            c, val = pallas_argmax.crop_argmax(
+                packed, cc16, offs[a:b], lids[a:b], crop)
+            coords.append(c)
+        else:
+            idx, val = _crop_argmax(packed, cc16, offs[a:b], lids[a:b],
+                                    crop)
+            coords.append(_unflatten_crop(idx, offs[a:b], crop))
         vals.append(val)
     if len(coords) == 1:
         return coords[0], vals[0]

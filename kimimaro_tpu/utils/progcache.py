@@ -117,6 +117,9 @@ def call(name: str, jitted_fn, static_kwargs: dict, *args):
         jax.default_backend(),
         str(jax.local_device_count()),
         _source_hash(),
+        # env toggles that change traced logic (a stale hit would
+        # silently run the other variant)
+        os.environ.get("KIMIMARO_TPU_PALLAS_ARGMAX", "auto"),
     ])
     key = hashlib.sha256(key_src.encode()).hexdigest()[:32]
 
