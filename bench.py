@@ -369,6 +369,25 @@ def main():
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # arm the record IMMEDIATELY: a SIGTERM during a cold-cache warm run
+    # (XLA compiles at 512^3 take ~14 min from scratch) must still emit a
+    # JSON line with rc=0 instead of dying recordless (the r3 failure).
+    _RECORD = {
+        "metric": "skeletonize (incomplete — killed during warm-up "
+                  "compiles, no timed result this run)",
+        "value": 0.0,
+        "unit": "labels/s",
+        "vs_baseline": 0.0,
+        "backend": _backend_name(),
+        "budget_s": BUDGET_S,
+    }
+    try:
+        with open(_LAST_SUCCESS) as fh:
+            _RECORD["stale_last_tpu_result"] = json.load(fh)
+    except OSError:
+        pass
+    _flush_partial()
+
     import kimimaro_tpu
 
     n = int(os.environ.get("BENCH_N", "512"))
