@@ -99,8 +99,10 @@ def _persist_success() -> None:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout.strip()
         os.makedirs(_CACHE_DIR, exist_ok=True)
-        with open(_LAST_SUCCESS, "w") as fh:
+        tmp = _LAST_SUCCESS + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(rec, fh)
+        os.replace(tmp, _LAST_SUCCESS)
     except Exception:
         pass
 
@@ -356,7 +358,7 @@ def main():
             try:
                 with open(_LAST_SUCCESS) as fh:
                     rec["stale_last_tpu_result"] = json.load(fh)
-            except OSError:
+            except (OSError, ValueError):
                 pass
             print(json.dumps(rec), flush=True)
             os._exit(3)
@@ -384,7 +386,7 @@ def main():
     try:
         with open(_LAST_SUCCESS) as fh:
             _RECORD["stale_last_tpu_result"] = json.load(fh)
-    except OSError:
+    except (OSError, ValueError):
         pass
     _flush_partial()
 

@@ -195,6 +195,7 @@ def skeletonize(
         )
 
     host_stages = fill_holes or fix_avocados
+    dbfmax_arr = None  # per-label DBF max; only the device preamble fills it
 
     if host_stages:
         # optional host transforms need the labels on host once
@@ -307,7 +308,7 @@ def skeletonize(
             "count": counts_map.get(segid, 0),
             "dbfmax": (
                 float(dbfmax_arr[segid])
-                if "dbfmax_arr" in locals() and segid < len(dbfmax_arr)
+                if dbfmax_arr is not None and segid < len(dbfmax_arr)
                 else None
             ),
         })
