@@ -1,0 +1,329 @@
+"""Cross-label batched windowed cross sections over the FULL label volume.
+
+The per-label driver (ops.xsarea.cross_section_areas) crops, pads,
+transposes and rung-ladders each label separately, so its wall time is
+dominated by per-label dispatch latency and by escalation re-runs
+(BENCH_r04: 73% of rung-0 queries escalated, 5.3 ms/vertex measured on a
+single skeleton vs the reference's ~2.5 ms/vertex on an Apple M3,
+reference kimimaro/utility.py:226-229).
+
+This module batches sectioning-plane queries from MANY labels into shared
+device dispatches against the volume uploaded ONCE:
+
+  1. The label volume stays in its original C layout on device (int32).
+     Dominant-axis grouping is done with STATIC STRIDES instead of
+     transposition — the windowed gather addresses the same buffer three
+     ways, so no per-label crop, no padding, no transposed copies.
+  2. Each lane gathers a W x W x K window around its own vertex and masks
+     foreground by comparing gathered labels to ITS OWN label id — lanes
+     from different labels coexist in one dispatch.
+  3. Window size is chosen PER QUERY from the skeleton radius at that
+     vertex (the radius ~ DBF is a sharp a-priori bound on section
+     extent), so the common thin-neurite case rides a tiny W=32
+     elementwise-dilation flood and only soma-scale sections climb to the
+     directed-sweep rungs. Unconverged lanes escalate to the next rung.
+  4. Contact bits are tested against the VOLUME faces, which matches the
+     reference semantics exactly: shape_iterator grows each label bbox by
+     1 before cropping (reference utility.py:114-166), so a section can
+     only ever touch a crop face where that face IS a volume face.
+
+The flood/bit-plane machinery is shared with ops.xsslab (same K-cell
+column encoding, same sweep kernel); results are bit-identical to the
+per-label path (tests/test_xsbatch.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .xsarea import box_plane_area
+from .xsslab import K, _kdilate, _shift2, _sweep_rounds, _var_shift
+
+_PERMS = ((1, 2, 0), (0, 2, 1), (0, 1, 2))  # dominant axis moved last
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "strides", "anisotropy", "W", "rounds",
+                     "method"))
+def slab_sections_volume(vol_flat, qlabels, verts, normals,
+                         dims: Tuple[int, int, int],
+                         strides: Tuple[int, int, int],
+                         anisotropy: Tuple[float, float, float],
+                         W: int = 32, rounds: int = 36,
+                         method: str = "dilate"):
+    """Windowed cross sections of a multi-label volume, many labels per
+    batch, dominant axis LAST via `strides`.
+
+    vol_flat: (X*Y*Z,) int32 volume in its ORIGINAL layout; `dims` are the
+    PERMUTED extents (tx, ty, tz) and `strides` the flat strides of the
+    permuted axes, so lane math runs in permuted space without a
+    transposed copy. qlabels: (B,) int32 per-lane label id. verts (B, 3)
+    int32 / normals (B, 3) f32 in the SAME permuted order; anisotropy
+    likewise. Every lane must satisfy |n_z|*s_z = max_a |n_a|*s_a.
+
+    Returns (areas (B,), contacts (B,) uint8 in permuted xxyyzz bit order,
+    conv (B,) bool). Identical section semantics to
+    ops.xsslab.slab_sections_batch (which see)."""
+    s = np.asarray(anisotropy, dtype=np.float32)
+    tx, ty, tz = dims
+    stx, sty, stz = strides
+    Wx = int(min(W, tx))
+    Wy = int(min(W, ty))
+    iw = jax.lax.broadcasted_iota(jnp.int32, (Wx, Wy), 0)
+    jw = jax.lax.broadcasted_iota(jnp.int32, (Wx, Wy), 1)
+
+    def one(label, vert, normal):
+        wx0 = jnp.clip(vert[0] - Wx // 2, 0, max(tx - Wx, 0))
+        wy0 = jnp.clip(vert[1] - Wy // 2, 0, max(ty - Wy, 0))
+        gx = wx0 + iw
+        gy = wy0 + jw
+
+        p0 = vert.astype(jnp.float32) * s
+        nx, ny, nz = normal[0], normal[1], normal[2]
+        a = ((gx.astype(jnp.float32) * s[0] - p0[0]) * nx
+             + (gy.astype(jnp.float32) * s[1] - p0[1]) * ny
+             - p0[2] * nz)
+        denom = nz * s[2]
+        safe = jnp.where(jnp.abs(denom) < 1e-20, jnp.float32(1e-20), denom)
+        zb = jnp.floor(-a / safe).astype(jnp.int32) - (K // 2)
+
+        zidx = zb[:, :, None] + jnp.arange(K, dtype=jnp.int32)
+        zvalid = (zidx >= 0) & (zidx < tz)
+        flat_idx = (gx[:, :, None] * stx + gy[:, :, None] * sty
+                    + jnp.clip(zidx, 0, tz - 1) * stz)
+        cell_fg = (jnp.take(vol_flat, flat_idx) == label) & zvalid
+
+        t = a[:, :, None] + zidx.astype(jnp.float32) * denom
+        areas = box_plane_area(t, normal, anisotropy)
+        sec = cell_fg & (areas > 0.0)
+        secb = jnp.sum(
+            jnp.where(sec, jnp.uint32(1) << jnp.arange(K, dtype=jnp.uint32),
+                      jnp.uint32(0)),
+            axis=-1, dtype=jnp.uint32)
+
+        si = vert[0] - wx0
+        sj = vert[1] - wy0
+        kseed = vert[2] - zb[si, sj]
+        seedbit = jnp.where(
+            (kseed >= 0) & (kseed < K),
+            jnp.uint32(1) << jnp.clip(kseed, 0, K - 1).astype(jnp.uint32),
+            jnp.uint32(0))
+        seed = jnp.zeros((Wx, Wy), jnp.uint32).at[si, sj].set(seedbit) & secb
+
+        if method == "sweep":
+            kept, changed = _sweep_rounds(seed, secb, zb, rounds)
+        else:
+            def body(carry, _):
+                r, _ = carry
+                nxt = r | _kdilate(r)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        rs = _shift2(r, dx, dy, jnp.uint32(0))
+                        zbs = _shift2(zb, dx, dy, jnp.int32(0))
+                        al = _var_shift(rs, zbs - zb)
+                        nxt = nxt | _kdilate(al)
+                nxt = nxt & secb
+                return (nxt, jnp.any(nxt != r)), None
+
+            (kept, changed), _ = jax.lax.scan(
+                body, (seed, jnp.bool_(True)), None, length=int(rounds) + 1)
+
+        esc = ((gx == wx0) & (wx0 > 0)) | \
+              ((gx == wx0 + Wx - 1) & (wx0 + Wx < tx)) | \
+              ((gy == wy0) & (wy0 > 0)) | \
+              ((gy == wy0 + Wy - 1) & (wy0 + Wy < ty))
+        escaped = jnp.any((kept != 0) & esc)
+        conv = (~changed) & (~escaped)
+
+        kbits = (kept[:, :, None]
+                 >> jnp.arange(K, dtype=jnp.uint32)) & jnp.uint32(1)
+        kmask = kbits != 0
+        area = jnp.sum(jnp.where(kmask, areas, 0.0))
+
+        contact = jnp.uint8(0)
+        contact |= jnp.any(
+            kmask & (gx == 0)[:, :, None]).astype(jnp.uint8) << 0
+        contact |= jnp.any(
+            kmask & (gx == tx - 1)[:, :, None]).astype(jnp.uint8) << 1
+        contact |= jnp.any(
+            kmask & (gy == 0)[:, :, None]).astype(jnp.uint8) << 2
+        contact |= jnp.any(
+            kmask & (gy == ty - 1)[:, :, None]).astype(jnp.uint8) << 3
+        contact |= jnp.any(kmask & (zidx == 0)).astype(jnp.uint8) << 4
+        contact |= jnp.any(kmask & (zidx == tz - 1)).astype(jnp.uint8) << 5
+        return area, contact, conv
+
+    return jax.vmap(one)(qlabels, verts, normals)
+
+
+def _as_int32_volume(all_labels) -> Optional[np.ndarray]:
+    """Reinterpret/convert the label volume to int32 for device equality
+    tests, or None when ids can't be represented losslessly."""
+    all_labels = np.asarray(all_labels)
+    if all_labels.ndim != 3:
+        return None
+    if all_labels.dtype == bool:
+        return np.ascontiguousarray(all_labels).astype(np.int32)
+    if all_labels.dtype.kind not in "ui":
+        return None
+    if all_labels.dtype.itemsize == 4:
+        # bit-pattern equality: uint32 ids >= 2^31 survive a view
+        return np.ascontiguousarray(all_labels).view(np.int32)
+    if all_labels.dtype.itemsize < 4:
+        conv = np.int32 if all_labels.dtype.kind == "i" else np.uint32
+        return np.ascontiguousarray(all_labels.astype(conv)).view(np.int32)
+    mx = int(all_labels.max()) if all_labels.size else 0
+    mn = int(all_labels.min()) if all_labels.size else 0
+    if mn < 0 or mx >= 2 ** 32:
+        return None
+    return np.ascontiguousarray(
+        all_labels.astype(np.uint32)).view(np.int32)
+
+
+def _label_to_i32(label: int) -> np.int32:
+    """Label id under the same bit-pattern reinterpretation."""
+    return np.uint64(label).astype(np.uint32).view(np.int32)
+
+
+# (W, rounds, method, lane width) rung menu; rung 0 is radius-gated
+_RUNGS = (
+    (32, 36, "dilate", 512),
+    (128, 6, "sweep", 128),
+    (512, 24, "sweep", 16),
+    (512, 96, "sweep", 16),
+)
+
+
+def cross_section_areas_volume(
+    all_labels,
+    verts,
+    normals,
+    labels_q,
+    anisotropy: Sequence[float] = (1, 1, 1),
+    radii: Optional[np.ndarray] = None,
+):
+    """Evaluate sectioning planes drawn from MANY labels of one volume.
+
+    all_labels: (X, Y, Z) integer volume. verts (N, 3) int global voxel
+    coords, normals (N, 3) unit physical normals, labels_q (N,) the label
+    each query sections, radii (N,) optional physical radius hints (used
+    to pick the starting window; -1/None = unknown). Returns
+    (areas (N,) f32, contacts (N,) uint8) or None when the volume dtype
+    can't ride the device equality test (caller falls back to the
+    per-label path)."""
+    import time as _time
+
+    from ..utils import profiling
+
+    vol = _as_int32_volume(all_labels)
+    if vol is None:
+        return None
+    X, Y, Z = vol.shape
+    n = int(np.asarray(verts).shape[0])
+    areas = np.zeros(n, dtype=np.float32)
+    contacts = np.zeros(n, dtype=np.uint8)
+    if n == 0:
+        return areas, contacts
+
+    verts = np.asarray(verts, dtype=np.int32).reshape(-1, 3)
+    normals = np.asarray(normals, dtype=np.float32).reshape(-1, 3)
+    qlab = np.asarray(
+        [_label_to_i32(int(l)) for l in np.asarray(labels_q).reshape(-1)],
+        dtype=np.int32)
+    anis = np.asarray(anisotropy, dtype=np.float32)
+
+    t0 = _time.perf_counter()
+    vol_flat = jnp.asarray(vol.reshape(-1))
+    profiling.count("xsb_upload_ms",
+                    int(1000 * (_time.perf_counter() - t0)))
+
+    w = np.abs(normals) * anis[None, :]
+    dom = np.argmax(w, axis=1)
+    # a degenerate (zero) normal intersects nothing: box_plane_area is 0
+    # everywhere, so the per-label path returns area 0 / contact 0 — mark
+    # those lanes converged with zeros instead of dispatching them
+    degenerate = w.max(axis=1) < 1e-12
+
+    if radii is None:
+        r_vox = np.full(n, np.inf, dtype=np.float32)
+    else:
+        radii = np.asarray(radii, dtype=np.float32).reshape(-1)
+        s_min = float(anis.min())
+        r_vox = np.where(radii >= 0, radii / max(s_min, 1e-9), np.inf)
+
+    # starting rung per query: thin sections (the common case) ride the
+    # tiny dilation window; everything else starts on the sweep rungs
+    start = np.where(2.0 * r_vox + 10.0 <= _RUNGS[0][0], 0,
+                     np.where(2.0 * r_vox + 10.0 <= _RUNGS[1][0], 1, 2))
+
+    conv = degenerate.copy()
+    strides_c = (Y * Z, Z, 1)
+
+    def dims_strides(d):
+        perm = _PERMS[d]
+        return (tuple(int(vol.shape[p]) for p in perm),
+                tuple(int(strides_c[p]) for p in perm))
+
+    for r, (W, rounds, method, lanes) in enumerate(_RUNGS):
+        todo = np.flatnonzero(~conv & (start <= r))
+        if len(todo) == 0:
+            continue
+        t0 = _time.perf_counter()
+        # phase 1: dispatch every batch of every axis group (async)
+        pend = []
+        for d in range(3):
+            sel = todo[dom[todo] == d]
+            if len(sel) == 0:
+                continue
+            dims, strides = dims_strides(d)
+            perm = _PERMS[d]
+            anis_p = tuple(float(anis[p]) for p in perm)
+            vperm = verts[sel][:, perm]
+            nperm = normals[sel][:, perm]
+            bw = min(lanes, 64) if len(sel) <= 64 else lanes
+            for i in range(0, len(sel), bw):
+                idx = sel[i: i + bw]
+                v = vperm[i: i + bw]
+                m = nperm[i: i + bw]
+                ql = qlab[idx]
+                pad = bw - len(idx)
+                if pad:
+                    v = np.concatenate([v, np.zeros((pad, 3), np.int32)])
+                    m = np.concatenate(
+                        [m, np.tile([[0.0, 0.0, 1.0]], (pad, 1))]
+                    ).astype(np.float32)
+                    ql = np.concatenate([ql, np.zeros(pad, np.int32)])
+                out = slab_sections_volume(
+                    vol_flat, jnp.asarray(ql), jnp.asarray(v),
+                    jnp.asarray(m), dims, strides, anis_p,
+                    W=W, rounds=rounds, method=method)
+                pend.append((idx, d, out))
+        # phase 2: land
+        fetched = jax.device_get([out for _, _, out in pend])
+        for (idx, d, _), (pa, pc, pv) in zip(pend, fetched):
+            take = len(idx)
+            areas[idx] = np.asarray(pa)[:take]
+            conv[idx] = np.asarray(pv)[:take]
+            # remap permuted contact bit pairs back to original axes
+            perm = _PERMS[d]
+            pc = np.asarray(pc)[:take]
+            cc = np.zeros_like(pc)
+            for j, p in enumerate(perm):
+                cc |= ((pc >> (2 * j)) & 3) << (2 * p)
+            contacts[idx] = cc
+        profiling.count(f"xsb_rung{r}_queries", len(todo))
+        profiling.count(f"xsb_rung{r}_ms",
+                        int(1000 * (_time.perf_counter() - t0)))
+
+    leftovers = int((~conv).sum())
+    if leftovers:
+        profiling.count("xsb_unconverged", leftovers)
+    return areas, contacts

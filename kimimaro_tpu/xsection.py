@@ -201,11 +201,29 @@ def cross_sectional_area(
     """Per-vertex cross sectional areas for skeletons embedded in a labeled
     volume (reference utility.py:351-560). The plane normal at each vertex
     is the smoothed path tangent (forward+backward moving average to kill
-    phase shift, reference utility.py:457-460)."""
+    phase shift, reference utility.py:457-460).
+
+    Default path: ALL skeletons' plane queries are batched into shared
+    device dispatches against the volume uploaded once (ops.xsbatch) —
+    per-label crops and their dispatch latency are gone. fill_holes /
+    visualize_section_planes (or KIMIMARO_TPU_XS_BATCHED=0) ride the
+    per-label bbox path instead."""
+    import os
+
     assert step > 0
     assert smoothing_window > 0
 
     anisotropy = np.asarray(anisotropy, dtype=np.float32)
+
+    batched_ok = (
+        not fill_holes
+        and not visualize_section_planes
+        and os.environ.get("KIMIMARO_TPU_XS_BATCHED", "1") != "0"
+    )
+    if batched_ok and _cross_sectional_area_batched(
+            all_labels, skeletons, anisotropy, smoothing_window,
+            multipass, repair_contacts, step):
+        return skeletons
 
     def helper(skel, binimg, roi):
         _cross_sectional_area_impl(
@@ -261,19 +279,21 @@ def cross_sectional_area_single(
     )
 
 
-def _cross_sectional_area_impl(
-    binimg, skel, roi, anisotropy, smoothing_window,
-    multipass, repair_contacts, visualize_section_planes, step,
-) -> Skeleton:
-    binimg = np.asarray(binimg)
-    shape = np.array(binimg.shape)
+def _collect_queries(skel, shape, roi_min, anisotropy, smoothing_window,
+                     multipass, repair_contacts, step):
+    """Gather this skeleton's (vertex, normal) sectioning queries with the
+    reference's per-path stride / branch-point / repair gating (reference
+    utility.py:449-511). Shared by the per-label and cross-label drivers.
 
+    Returns (areas, contacts, query_verts (Q,3) int, query_normals (Q,3),
+    query_idx (Q,), branch_pts set)."""
+    shape = np.asarray(shape)
     if skel.space == "physical":
         all_verts = (skel.vertices / anisotropy).round().astype(int)
     else:
         all_verts = np.copy(skel.vertices).astype(int)
-    if roi is not None:
-        all_verts = all_verts - roi.minpt
+    if roi_min is not None:
+        all_verts = all_verts - roi_min
 
     mapping = {tuple(v): i for i, v in enumerate(all_verts)}
     visited = np.zeros(all_verts.shape[0], dtype=bool)
@@ -289,10 +309,7 @@ def _cross_sectional_area_impl(
         contacts = np.zeros(all_verts.shape[0], dtype=np.uint8)
 
     branch_pts = set(int(b) for b in skel.branches())
-    branch_pt_vals = defaultdict(list)
 
-    # gather all (vertex, normal) queries first, then evaluate in device
-    # batches — one dispatch covers many sectioning planes
     query_verts: List[tuple] = []
     query_normals: List[np.ndarray] = []
     query_idx: List[int] = []
@@ -302,8 +319,8 @@ def _cross_sectional_area_impl(
             path = (path / anisotropy).round().astype(int)
         else:
             path = path.astype(int)
-        if roi is not None:
-            path = path - roi.minpt
+        if roi_min is not None:
+            path = path - roi_min
         if len(path) < 2:
             continue
 
@@ -339,18 +356,127 @@ def _cross_sectional_area_impl(
                 query_normals.append(normals[i])
                 query_idx.append(idx)
 
+    return areas, contacts, query_verts, query_normals, query_idx, branch_pts
+
+
+def _apply_results(skel, areas, contacts, query_idx, branch_pts,
+                   qareas, qcontacts, repair_contacts):
+    """Scatter device results back onto the skeleton (branch points are
+    averaged over their incident paths, reference utility.py:517-518)."""
+    branch_pt_vals = defaultdict(list)
+    for k, idx in enumerate(query_idx):
+        areas[idx] = qareas[k]
+        if repair_contacts:
+            contacts[idx] = qcontacts[k]
+        else:
+            contacts[idx] |= qcontacts[k]
+        if idx in branch_pts:
+            branch_pt_vals[idx].append(float(qareas[k]))
+
+    for idx, vals in branch_pt_vals.items():
+        areas[idx] = sum(vals) / len(vals)
+
+    skel.cross_sectional_area = np.asarray(areas, dtype=np.float32)
+    skel.cross_sectional_area_contacts = np.asarray(contacts, dtype=np.uint8)
+
+    add_property(skel, XS_PROP)
+    add_property(skel, XS_CONTACT_PROP)
+    return skel
+
+
+def _cross_sectional_area_batched(
+    all_labels, skeletons, anisotropy, smoothing_window,
+    multipass, repair_contacts, step,
+) -> bool:
+    """Cross-label batched driver: every skeleton's queries in shared
+    full-volume device dispatches (ops.xsbatch). Returns False when the
+    volume can't ride the device equality test (caller falls back)."""
+    from .ops.xsbatch import cross_section_areas_volume
+
+    if isinstance(skeletons, dict):
+        skelitr = list(skeletons.values())
+    elif hasattr(skeletons, "vertices"):
+        skelitr = [skeletons]
+    else:
+        skelitr = list(skeletons)
+
+    all_labels = np.asarray(all_labels)
+    if all_labels.ndim != 3 or (
+            all_labels.dtype != bool and all_labels.dtype.kind not in "ui"):
+        return False
+    shape = all_labels.shape
+
+    states = []
+    qv, qn, qlab, qrad = [], [], [], []
+    for skel in skelitr:
+        label = 1 if all_labels.dtype == bool else skel.id
+        if label == 0 or skel.vertices.shape[0] == 0:
+            continue
+        areas, contacts, verts, normals, idx, branch_pts = _collect_queries(
+            skel, shape, None, anisotropy, smoothing_window,
+            multipass, repair_contacts, step)
+        states.append((skel, areas, contacts, idx, branch_pts, len(verts)))
+        if verts:
+            qv.append(np.asarray(verts, dtype=np.int32))
+            qn.append(np.asarray(normals, dtype=np.float32))
+            qlab.append(np.full(len(verts), label, dtype=np.int64))
+            radii = skel.radii if skel.radii.size else None
+            if radii is None:
+                qrad.append(np.full(len(verts), -1.0, dtype=np.float32))
+            else:
+                vmap_idx = np.asarray(idx, dtype=np.int64)
+                qrad.append(radii[vmap_idx].astype(np.float32))
+
+    if qv:
+        out = cross_section_areas_volume(
+            all_labels,
+            np.concatenate(qv), np.concatenate(qn), np.concatenate(qlab),
+            anisotropy, radii=np.concatenate(qrad))
+        if out is None:
+            return False
+        qareas, qcontacts = out
+    else:
+        qareas = np.zeros(0, dtype=np.float32)
+        qcontacts = np.zeros(0, dtype=np.uint8)
+
+    off = 0
+    for skel, areas, contacts, idx, branch_pts, nq in states:
+        _apply_results(skel, areas, contacts, idx, branch_pts,
+                       qareas[off: off + nq], qcontacts[off: off + nq],
+                       repair_contacts)
+        off += nq
+
+    for skel in skelitr:
+        add_property(skel, XS_PROP)
+        add_property(skel, XS_CONTACT_PROP)
+        if not hasattr(skel, "cross_sectional_area"):
+            skel.cross_sectional_area = np.full(
+                len(skel.vertices), -1, dtype=np.float32)
+        if not hasattr(skel, "cross_sectional_area_contacts"):
+            skel.cross_sectional_area_contacts = np.zeros(
+                len(skel.vertices), dtype=np.uint8)
+    return True
+
+
+def _cross_sectional_area_impl(
+    binimg, skel, roi, anisotropy, smoothing_window,
+    multipass, repair_contacts, visualize_section_planes, step,
+) -> Skeleton:
+    binimg = np.asarray(binimg)
+    shape = np.array(binimg.shape)
+
+    roi_min = roi.minpt if roi is not None else None
+    areas, contacts, query_verts, query_normals, query_idx, branch_pts = \
+        _collect_queries(skel, shape, roi_min, anisotropy,
+                         smoothing_window, multipass, repair_contacts, step)
+
     if query_verts:
         qareas, qcontacts = cross_section_areas(
             binimg, np.array(query_verts), np.array(query_normals), anisotropy
         )
-        for k, idx in enumerate(query_idx):
-            areas[idx] = qareas[k]
-            if repair_contacts:
-                contacts[idx] = qcontacts[k]
-            else:
-                contacts[idx] |= qcontacts[k]
-            if idx in branch_pts:
-                branch_pt_vals[idx].append(float(qareas[k]))
+    else:
+        qareas = np.zeros(0, dtype=np.float32)
+        qcontacts = np.zeros(0, dtype=np.uint8)
 
     if visualize_section_planes and query_verts:
         from .ops.xsarea import cross_section_image
@@ -368,12 +494,5 @@ def _cross_sectional_area_impl(
         except ImportError:
             print("kimimaro_tpu: microviewer not installed; skipping view.")
 
-    for idx, vals in branch_pt_vals.items():
-        areas[idx] = sum(vals) / len(vals)
-
-    skel.cross_sectional_area = np.asarray(areas, dtype=np.float32)
-    skel.cross_sectional_area_contacts = np.asarray(contacts, dtype=np.uint8)
-
-    add_property(skel, XS_PROP)
-    add_property(skel, XS_CONTACT_PROP)
-    return skel
+    return _apply_results(skel, areas, contacts, query_idx, branch_pts,
+                          qareas, qcontacts, repair_contacts)
