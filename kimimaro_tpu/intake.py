@@ -207,7 +207,9 @@ def skeletonize(
         }
 
         if fill_holes:
-            cc_labels = fill_all_holes(cc_labels, progress)
+            with phase("fill_holes"):
+                cc_labels = fill_all_holes(cc_labels, progress,
+                                           vol_dev=cc_dev)
 
         def edtfn(labels):
             return np.asarray(jax.device_get(edtfn_dev(jnp.asarray(labels))))
@@ -911,9 +913,18 @@ def compute_border_targets(cc_labels, anisotropy) -> Dict[int, np.ndarray]:
 
 
 def fill_all_holes(cc_labels: np.ndarray, progress: bool = False,
-                   return_fill_count: bool = False):
+                   return_fill_count: bool = False, vol_dev=None):
     """Fill interior holes of each connected component; labels that were
-    holes are absorbed by the surrounding label."""
+    holes are absorbed by the surrounding label.
+
+    Hole masks for ALL labels are computed in vmapped per-crop-tier device
+    batches from the pre-fill volume (ops.fill.fill_label_crops) — the
+    reference's serial per-label form (intake.py:747-794) is replayed
+    host-side over those masks, which is exact: an applied label's mask
+    never changes under earlier labels' writes (a label with any voxel
+    inside an earlier filled hole is absorbed and skipped; all other
+    labels' voxel sets are untouched). `vol_dev` lets callers that already
+    hold the volume on device skip the upload."""
     cc_labels = np.copy(cc_labels)
     labels = np.unique(cc_labels)
     labels_set = set(int(u) for u in labels if u != 0)
@@ -921,28 +932,36 @@ def fill_all_holes(cc_labels: np.ndarray, progress: bool = False,
     all_slices = find_objects(cc_labels)
     pixels_filled = 0
 
+    cand, offsets, shapes = [], [], []
+    for label in labels:
+        label = int(label)
+        if label == 0 or all_slices[label - 1] is None:
+            continue
+        roi = Bbox.from_slices(all_slices[label - 1])
+        cand.append(label)
+        offsets.append(np.asarray(roi.minpt))
+        shapes.append(np.asarray(roi.maxpt) - np.asarray(roi.minpt))
+
+    if vol_dev is None:
+        vol_dev = jnp.asarray(cc_labels)
+    masks = fill_ops.fill_label_crops(
+        vol_dev, np.asarray(offsets).reshape(-1, 3),
+        np.asarray(shapes).reshape(-1, 3),
+        np.asarray(cand, dtype=np.int64), cc_labels.shape)
+
     from tqdm import tqdm
 
-    for label in tqdm(labels, disable=(not progress), desc="Filling Holes"):
-        label = int(label)
-        if label not in labels_set:
+    for label, (holes, n) in tqdm(list(zip(cand, masks)),
+                                  disable=(not progress),
+                                  desc="Filling Holes"):
+        if label not in labels_set or n == 0:
             continue
         slices = all_slices[label - 1]
-        if slices is None:
-            continue
-
-        binary_image = cc_labels[slices] == label
-        filled, n = fill_ops.fill(binary_image, return_fill_count=True)
-        filled = np.asarray(jax.device_get(filled))
-        n = int(n)
-        pixels_filled += n
-        if n == 0:
-            continue
-
-        sub_labels = set(int(u) for u in np.unique(cc_labels[slices][filled]))
+        pixels_filled += int(n)
+        sub_labels = set(int(u) for u in np.unique(cc_labels[slices][holes]))
         sub_labels.discard(label)
         labels_set -= sub_labels
-        cc_labels[slices] = np.where(filled, label, cc_labels[slices])
+        cc_labels[slices] = np.where(holes, label, cc_labels[slices])
 
     if return_fill_count:
         return cc_labels, pixels_filled

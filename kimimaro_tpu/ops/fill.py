@@ -12,11 +12,14 @@ directional-sweep relaxation engine (ops.geodesic), i.e. a handful of
 
 from __future__ import annotations
 
-from typing import Tuple
+import functools
+from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .geodesic import flood_fill
+from .geodesic import _flood6_stage, flood_fill
 
 
 def fill(binimg, return_fill_count: bool = False):
@@ -49,3 +52,121 @@ def fill(binimg, return_fill_count: bool = False):
         n = jnp.sum(filled) - jnp.sum(bin3)
         return filled, n
     return filled
+
+
+# --------------------------------------------------------------------------- #
+# Batched per-label fills (one vmapped dispatch per crop tier instead of one
+# dispatch + round-trip per label — reference intake.py:747-794 runs this
+# serially per label on host; at 512^3 with thousands of labels the per-label
+# form pays a compile per distinct bbox shape plus a device round-trip each)
+
+
+@functools.partial(jax.jit, static_argnames=("crop", "rounds"))
+def _fill_crops_stage(vol, offs, lids, crop: Tuple[int, int, int],
+                      rounds: int):
+    """Border-seeded hole masks for a batch of label crops.
+
+    vol: (X, Y, Z) int volume (device-resident). offs (B, 3) int32 crop
+    origins (pre-clamped), lids (B,) per-lane label id. Each lane slices
+    `crop` around its offset and fills holes of `crop == lid`. Embedding a
+    tight bbox in a larger crop is exact: padding voxels are background,
+    connected to the crop border, so bbox-face background stays seeded
+    exactly as in the tight-bbox form. Returns (holes (B,)+crop bool,
+    n (B,) int32, conv (B,) bool)."""
+    cx, cy, cz = crop
+    ix = jax.lax.broadcasted_iota(jnp.int32, crop, 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, crop, 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, crop, 2)
+    face = ((ix == 0) | (ix == cx - 1) | (iy == 0) | (iy == cy - 1)
+            | (iz == 0) | (iz == cz - 1))
+
+    def one(off, lid):
+        c = jax.lax.dynamic_slice(vol, (off[0], off[1], off[2]), crop)
+        bin3 = c == lid.astype(c.dtype)
+        ok = ~bin3
+        init = jnp.where(face & ok, 0.0, jnp.inf).astype(jnp.float32)
+        d, conv = _flood6_stage(ok, init, rounds)
+        holes = ok & ~jnp.isfinite(d)
+        return holes, jnp.sum(holes, dtype=jnp.int32), conv
+
+    return jax.vmap(one)(offs, lids)
+
+
+# crop tiers for the batched fills; clamped per-axis to the volume
+_FILL_CROP_MENU = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def fill_label_crops(
+    vol_dev,
+    offsets: np.ndarray,
+    shapes: np.ndarray,
+    lids: np.ndarray,
+    vol_shape: Tuple[int, int, int],
+    budget_bytes: int = 768 << 20,
+):
+    """Hole masks for many labels of one volume, batched by crop tier.
+
+    vol_dev: device int volume. offsets/shapes (N, 3): each label's TIGHT
+    bbox origin and extent; lids (N,). Yields host results as a list of
+    (holes_tight bool array of shape `shapes[i]`, n) aligned with the
+    inputs; lanes with n == 0 return (None, 0) without fetching the mask.
+    """
+    n = len(lids)
+    out: list = [(None, 0)] * n
+    if n == 0:
+        return out
+    offsets = np.asarray(offsets, dtype=np.int64).reshape(n, 3)
+    shapes = np.asarray(shapes, dtype=np.int64).reshape(n, 3)
+    vol_shape = tuple(int(s) for s in vol_shape)
+
+    # tier assignment: smallest menu crop (clamped) holding the bbox
+    tiers = []
+    for m in _FILL_CROP_MENU:
+        c = tuple(min(m, s) for s in vol_shape)
+        if not tiers or c != tiers[-1]:
+            tiers.append(c)
+    tier_of = np.full(n, len(tiers) - 1, dtype=np.int64)
+    for t in range(len(tiers) - 1, -1, -1):
+        fits = np.all(shapes <= np.asarray(tiers[t]), axis=1)
+        tier_of[fits] = t
+
+    for t, crop in enumerate(tiers):
+        sel = np.flatnonzero(tier_of == t)
+        if len(sel) == 0:
+            continue
+        # clamped crop origins (bbox stays inside: crop >= shape)
+        offs_t = np.minimum(
+            offsets[sel], np.asarray(vol_shape) - np.asarray(crop))
+        offs_t = np.maximum(offs_t, 0).astype(np.int32)
+        lids_t = np.asarray(lids)[sel].astype(np.int32)
+        vox = int(np.prod(crop))
+        chunk = int(min(512, max(1, budget_bytes // max(16 * vox, 1))))
+        for i in range(0, len(sel), chunk):
+            idx = sel[i: i + chunk]
+            o = jnp.asarray(offs_t[i: i + chunk])
+            l = jnp.asarray(lids_t[i: i + chunk])
+            holes, cnt, conv = None, None, None
+            # escalation ladder: most holes close in a few rounds; rerun
+            # only the stage (from scratch) at a deeper budget when any
+            # lane's flood hadn't stalled
+            for rounds in (6, 24, 96, max(int(sum(crop)) + 8, 384)):
+                holes, cnt, conv = _fill_crops_stage(
+                    vol_dev, o, l, crop, rounds)
+                if bool(jnp.all(conv)):
+                    break
+            cnt_h = np.asarray(jax.device_get(cnt))
+            nz = np.flatnonzero(cnt_h > 0)
+            if len(nz) == 0:
+                continue
+            holes_h = np.asarray(jax.device_get(holes[jnp.asarray(nz)]))
+            for k, j in enumerate(nz):
+                gi = int(idx[j])
+                sh = shapes[gi]
+                rel = offsets[gi] - offs_t[i + j]
+                out[gi] = (
+                    holes_h[k][rel[0]: rel[0] + sh[0],
+                               rel[1]: rel[1] + sh[1],
+                               rel[2]: rel[2] + sh[2]],
+                    int(cnt_h[j]),
+                )
+    return out
