@@ -511,6 +511,19 @@ def batched_trace_kernel(
         soma_possible=soma_possible,
     )
     if lane_crops:
+        if has_vg:
+            # per-lane vg crops ride the lane axis; offsets are zeros so
+            # _one_label's dynamic_slice over the crop is the identity
+            return jax.vmap(
+                lambda cc, dbf, vg, lid, off, b, nb, a, na, r, hr, mp: fn(
+                    cc, dbf, vg, lid, off, b, nb, a, na, r, hr, mp,
+                    scale, const,
+                    soma_detection_threshold, soma_acceptance_threshold,
+                    soma_invalidation_scale, soma_invalidation_const,
+                    pdrf_scale,
+                )
+            )(cc_full, dbf_full, vg_full, label_ids, offsets, before,
+              n_before, after, n_after, root_in, has_root, max_paths_in)
         return jax.vmap(
             lambda cc, dbf, lid, off, b, nb, a, na, r, hr, mp: fn(
                 cc, dbf, vg_full, lid, off, b, nb, a, na, r, hr, mp,
@@ -773,12 +786,21 @@ def trace_batched(
                         mp[j] = int(max_paths)
 
                 if crop_source is not None:
-                    cc_in, dbf_in = crop_source(
+                    got = crop_source(
                         offs.astype(np.int64), len(chunk), bshape)
+                    # (cc, dbf) or (cc, dbf, vg) — per-lane vg crops ride
+                    # the vmapped lane axis (sharded voxel_graph path)
+                    cc_in, dbf_in = got[0], got[1]
+                    if has_vg and len(got) <= 2:
+                        raise ValueError(
+                            "trace_batched: voxel_graph with crop_source "
+                            "requires the source to return (cc, dbf, vg) "
+                            "per-lane crops")
+                    vg_in = got[2] if has_vg else vg_full
                     offs = np.zeros_like(offs)
                     lane_crops = True
                 else:
-                    cc_in, dbf_in = cc_dev, dbf_dev
+                    cc_in, dbf_in, vg_in = cc_dev, dbf_dev, vg_full
                     lane_crops = False
 
                 from .utils import progcache
@@ -798,7 +820,7 @@ def trace_batched(
                         outs = progcache.call(
                             "batched_trace_kernel", batched_trace_kernel,
                             statics,
-                            cc_in, dbf_in, vg_full,
+                            cc_in, dbf_in, vg_in,
                             jnp.asarray(lids), jnp.asarray(offs),
                             jnp.asarray(bef), jnp.asarray(nbef),
                             jnp.asarray(aft), jnp.asarray(naft),

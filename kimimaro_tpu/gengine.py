@@ -68,7 +68,12 @@ EXTRA_ROUND_STAGES = 3  # warm +rounds continuations before giving up
 # ride the crop engine. The 48/96/192 intermediate tiers cut the gather
 # traffic of the per-label argmaxes ~2x on the dense workload (its bbox
 # population sat just past the 64 boundary, paying 128^3 per label).
-G_CROP_MENU = (16, 32, 48, 64, 96, 128, 192, 256)
+# The 384 tier keeps winding neurites lock-step: on the neurite 512^3
+# workload every label fits 384 but ~2% exceed 256 — without it each
+# oversize tube becomes a near-unique crop-engine bucket (measured
+# together with non-selective bail: >150 fresh batched_trace_kernel
+# compiles, ~750 s of XLA, and slow single-lane re-traces even warm).
+G_CROP_MENU = (16, 32, 48, 64, 96, 128, 192, 256, 384)
 
 
 def _pow2_at_least(n: int) -> int:
@@ -582,6 +587,7 @@ def trace_global(
     # --- eligibility split
     eligible: List[dict] = []
     leftover: List[dict] = []
+    n_soma = n_tcap = n_blocked = 0
     for job in jobs:
         dmx = job.get("dbfmax")
         soma_possible = (dmx is None) or (float(dmx) > soma_cut)
@@ -589,8 +595,15 @@ def trace_global(
         blocked = (max_paths is not None) and (n_b + n_a) >= int(max_paths)
         if soma_possible or n_b > T_CAP or n_a > T_CAP or blocked:
             leftover.append(job)
+            n_soma += int(soma_possible)
+            n_tcap += int(n_b > T_CAP or n_a > T_CAP)
+            n_blocked += int(blocked)
         else:
             eligible.append(job)
+    from .utils import profiling as _prof
+    _prof.count("gengine_skip_soma", n_soma)
+    _prof.count("gengine_skip_tcap", n_tcap)
+    _prof.count("gengine_skip_maxpaths", n_blocked)
 
     tiers = _tier_crops(vol_shape)
     crop_max = tiers[-1]
@@ -599,6 +612,7 @@ def trace_global(
     refit = [j for j in eligible
              if not all(int(s) <= c for s, c in zip(j["shape"], crop_max))]
     leftover.extend(refit)
+    _prof.count("gengine_skip_refit", len(refit))
     eligible = fits
 
     if len(eligible) < 2:
@@ -804,9 +818,21 @@ def trace_global(
     # dense benchmark, bail 100 saved 5.6 s of tail iterations for 3.1 s
     # of crop work (24.4 s -> 21.6 s). Small workloads keep bail off —
     # their whole loop is shorter than one crop-engine launch.
+    #
+    # Bail is SELECTIVE by crop size: only labels whose gather crop fits
+    # BAIL_CROP voxels per axis leave — big-bbox labels (winding
+    # neurites) stay lock-step, because the crop engine is the wrong
+    # venue for them: each becomes a 1-4 lane bucket with a near-unique
+    # (crop, L, rounds) static key (measured on the neurite 512^3
+    # workload: 45 bailed tubes -> 150+ fresh batched_trace_kernel
+    # compiles, ~750 s of XLA), and even warm, a single-lane 256^3+ crop
+    # re-trace costs more than the lock-step iterations it saves.
     default_bail = 100 if n_live > 500 else 0
     bail_n = int(os.environ.get("KIMIMARO_TPU_GENGINE_BAIL",
                                 str(default_bail)))
+    bail_crop = int(os.environ.get("KIMIMARO_TPU_GENGINE_BAIL_CROP", "128"))
+    # lanes whose gather crop is small enough to bail cheaply
+    bail_ok = live & np.all(crop_of <= bail_crop, axis=1)
     # segments: when the K_ITER-row path buffer fills with labels still
     # active, it is drained host-side and REUSED — long-path labels keep
     # their finished paths instead of re-tracing in the crop engine
@@ -814,7 +840,9 @@ def trace_global(
     max_segs = int(os.environ.get("KIMIMARO_TPU_GENGINE_SEGS", "16"))
 
     taint_nc = np.zeros(N, dtype=bool)
+    taint_bail = np.zeros(N, dtype=bool)
     bailed = False
+    purged = False
     n_act = -1
     seg = 0
     seg_rows = 0
@@ -909,11 +937,39 @@ def trace_global(
                 n_act = _land(*pending.pop(0))
                 if n_act == 0:
                     break
-                if bail_n and n_act <= bail_n and it >= 3:
-                    # labels still active are tainted below (capacity)
-                    # and finish in the crop engine
-                    bailed = True
-                    break
+                if bail_n and not purged and n_act <= bail_n and it >= 3:
+                    # selective bail: small-crop actives leave for the
+                    # crop engine (tainted below). Big-crop actives keep
+                    # iterating lock-step only when their combined crop
+                    # volume justifies full-volume iterations — a handful
+                    # of big labels re-trace faster in the crop engine
+                    # (dense: 3 bigs cost 4 extra 0.85 s iterations vs
+                    # ~0.2 s of warm crop work), while a big POPULATION
+                    # must stay (neurite: 20 winding tubes cost ~28 s +
+                    # a fresh-compile cascade in the crop engine vs 8
+                    # extra lock-step iterations)
+                    done_h = np.asarray(jax.device_get(done))
+                    act = live & ~done_h
+                    smalls = act & bail_ok
+                    bigs = act & ~bail_ok
+                    big_vol = float(
+                        np.prod(crop_of[bigs], axis=1).sum()) if bigs.any() \
+                        else 0.0
+                    keep_frac = float(os.environ.get(
+                        "KIMIMARO_TPU_GENGINE_KEEP_FRAC", "0.25"))
+                    if big_vol < keep_frac * float(np.prod(vol_shape)):
+                        bailed = True
+                        break
+                    purged = True
+                    if smalls.any():
+                        taint_bail |= smalls
+                        done = done | jnp.asarray(smalls)
+                    if debug:
+                        print(f"[gengine] bail purge: {int(smalls.sum())} "
+                              f"small -> crop engine, {int(bigs.sum())} "
+                              f"big stay lock-step "
+                              f"(crop vol {big_vol / np.prod(vol_shape):.2f}"
+                              f"x volume)", flush=True)
         for p in pending:
             last = _land(*p)
             if n_act != 0 and not bailed:
@@ -938,14 +994,15 @@ def trace_global(
     t_setup = setup_taint & live
     t_nonconv = taint_nc & live
     t_over = t_overflow & live
-    t_capacity = np.zeros(N, dtype=bool)
+    t_capacity = taint_bail & live
     if n_act > 0:
         # still active when the loop stopped (bail or max_segs exhausted)
-        t_capacity = last_actives[max(seg_rows, 1) - 1] & live
+        t_capacity |= last_actives[max(seg_rows, 1) - 1] & live
     tainted = t_setup | t_nonconv | t_over | t_capacity
     if debug:
         print(f"[gengine] drain: N={N} it={it} segs={seg + 1} "
-              f"bailed={bailed} setup_taint={int(setup_taint.sum())} "
+              f"bailed={bailed} purged={purged} "
+              f"setup_taint={int(setup_taint.sum())} "
               f"taint_nc={int(taint_nc.sum())} "
               f"overflow={int(t_over.sum())} "
               f"capacity={int(t_capacity.sum())} "

@@ -49,7 +49,7 @@ except ImportError:  # older jax
 
 from ..ops.edt import BIG, _axial_pass, _parabola_pass_banded
 from ..ops.geodesic import OFFSETS26, _off_cost, _plane_offsets
-from ..ops.stencils import shifted
+from ..ops.stencils import graph_allows, shifted
 
 INF = np.float32(np.inf)
 AXIS = "shard"  # mesh axis name; the volume's leading dim is sharded over it
@@ -75,13 +75,19 @@ def shard_volume(vol, mesh: Mesh):
 # Ring min-plus parabola pass (the sharded-axis EDT pass)
 
 
-def _block_envelope(d_blk, l_blk, d_out, l_out, i_glob, j_glob, w):
+def _block_envelope(d_blk, l_blk, d_out, l_out, i_glob, j_glob, w,
+                    w_blk=None, w_out=None):
     """min over j in the resident block of (g + w^2 (i - j)^2) for every
     local output position i; g = d_blk[j] when labels match else 0.
 
     d_blk/l_blk: (nb, L); d_out/l_out: (ni, L); i_glob: (ni,), j_glob: (nb,).
+    w_blk/w_out: optional (nb, L)/(ni, L) int32 wall-segment indices
+    (voxel_graph walls along the sharded axis): positions in different
+    segments act like a label change (mutually invisible foreground, g=0),
+    matching ops.edt._parabola_pass_banded's has_wall semantics.
     Returns the updated (ni, L) envelope.
     """
+    has_wall = w_blk is not None
     # kernel (ni, nb)
     kern = (np.float32(w) ** 2) * (
         i_glob[:, None].astype(jnp.float32) - j_glob[None, :].astype(jnp.float32)
@@ -94,36 +100,48 @@ def _block_envelope(d_blk, l_blk, d_out, l_out, i_glob, j_glob, w):
     chunk = max(1, min(L, (1 << 23) // max(1, ni * nb)))
     nchunks = -(-L // chunk)
     pad = nchunks * chunk - L
-    d_b = jnp.pad(d_blk, ((0, 0), (0, pad)), constant_values=BIG)
-    l_b = jnp.pad(l_blk, ((0, 0), (0, pad)), constant_values=0)
-    d_o = jnp.pad(d_out, ((0, 0), (0, pad)), constant_values=BIG)
-    l_o = jnp.pad(l_out, ((0, 0), (0, pad)), constant_values=0)
 
-    d_b = d_b.reshape(nb, nchunks, chunk).transpose(1, 0, 2)  # (C, nb, chunk)
-    l_b = l_b.reshape(nb, nchunks, chunk).transpose(1, 0, 2)
-    d_o = d_o.reshape(ni, nchunks, chunk).transpose(1, 0, 2)  # (C, ni, chunk)
-    l_o = l_o.reshape(ni, nchunks, chunk).transpose(1, 0, 2)
+    def tile(x, fill, n_rows):
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
+        return x.reshape(n_rows, nchunks, chunk).transpose(1, 0, 2)
+
+    d_b = tile(d_blk, BIG, nb)
+    l_b = tile(l_blk, 0, nb)
+    d_o = tile(d_out, BIG, ni)
+    l_o = tile(l_out, 0, ni)
+    if has_wall:
+        w_b = tile(w_blk, 0, nb)
+        w_o = tile(w_out, 0, ni)
 
     def one(args):
-        db, lb, do, lo = args
+        if has_wall:
+            db, lb, do, lo, wb, wo = args
+        else:
+            db, lb, do, lo = args
         same = lo[:, None, :] == lb[None, :, :]  # (ni, nb, chunk)
+        if has_wall:
+            same = same & (wo[:, None, :] == wb[None, :, :])
         g = jnp.where(same, db[None, :, :], 0.0)
         cand = jnp.min(g + kern[:, :, None], axis=1)  # (ni, chunk)
         return jnp.minimum(do, cand)
 
-    out = jax.lax.map(one, (d_b, l_b, d_o, l_o))  # (C, ni, chunk)
+    args = (d_b, l_b, d_o, l_o, w_b, w_o) if has_wall else (d_b, l_b, d_o, l_o)
+    out = jax.lax.map(one, args)  # (C, ni, chunk)
     out = out.transpose(1, 0, 2).reshape(ni, nchunks * chunk)[:, :L]
     return out
 
 
 def _ring_parabola_pass(d, labels, w: float, black_border: bool, n_total: int,
-                        n_dev: int):
+                        n_dev: int, wall=None):
     """Exact parabola pass along the sharded leading axis, executed as a
     ring: blocks of (distances, labels) rotate across devices while each
     device folds their lower-envelope contribution into its own lines.
 
-    d, labels: local shards (n_loc, n1, n2). Runs inside shard_map.
+    d, labels: local shards (n_loc, n1, n2). `wall`: optional (n_loc, L)
+    GLOBAL wall-segment indices along axis 0 (see sharded_edtsq).
+    Runs inside shard_map.
     """
+    has_wall = wall is not None
     n_loc = d.shape[0]
     L = d.shape[1] * d.shape[2]
     d2 = d.reshape(n_loc, L)
@@ -135,14 +153,17 @@ def _ring_parabola_pass(d, labels, w: float, black_border: bool, n_total: int,
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     out = jnp.full_like(d2, BIG)
-    blk_d, blk_l, blk_owner = d2, l2, my
+    blk_d, blk_l, blk_w, blk_owner = d2, l2, wall, my
 
     for step in range(n_dev):
         j_glob = blk_owner * n_loc + jnp.arange(n_loc)
-        out = _block_envelope(blk_d, blk_l, out, l2, i_glob, j_glob, w)
+        out = _block_envelope(blk_d, blk_l, out, l2, i_glob, j_glob, w,
+                              w_blk=blk_w, w_out=wall)
         if step + 1 < n_dev:
             blk_d = jax.lax.ppermute(blk_d, AXIS, perm)
             blk_l = jax.lax.ppermute(blk_l, AXIS, perm)
+            if has_wall:
+                blk_w = jax.lax.ppermute(blk_w, AXIS, perm)
             blk_owner = (blk_owner - 1) % n_dev
 
     out = jnp.minimum(out, d2)  # fold previous-pass distances
@@ -157,8 +178,12 @@ def _ring_parabola_pass(d, labels, w: float, black_border: bool, n_total: int,
     return out.reshape(d.shape)
 
 
+_AXIS_UNIT = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
+
+
 @functools.lru_cache(maxsize=None)
-def _edtsq_impl(mesh: Mesh, n0: int, anis, black_border: bool):
+def _edtsq_impl(mesh: Mesh, n0: int, anis, black_border: bool,
+                has_vg: bool = False):
     """Cached jitted program: defining the shard_map closure per CALL made
     every invocation re-trace and re-compile (~10 s per call on the
     8-virtual-device CPU mesh); the cache keys the program on everything
@@ -169,11 +194,11 @@ def _edtsq_impl(mesh: Mesh, n0: int, anis, black_border: bool):
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(AXIS), ),
+        in_specs=(P(AXIS), P(AXIS)),
         out_specs=P(AXIS),
         check_rep=False,
     )
-    def impl(lab):
+    def impl(lab, vg):
         d = jnp.full(lab.shape, BIG, dtype=jnp.float32)
         dummy_wall = jnp.zeros((1, 1), dtype=jnp.int32)
 
@@ -189,21 +214,55 @@ def _edtsq_impl(mesh: Mesh, n0: int, anis, black_border: bool):
                     d = jnp.minimum(d, np.float32(w) ** 2)
                 continue
             lab_t = jnp.moveaxis(lab, axis, 0).reshape(n, -1)
+            if has_vg:
+                # wall-segment index per line (blocked +axis edges break
+                # runs, exactly like ops.edt.edtsq's local form)
+                allow = graph_allows(vg, _AXIS_UNIT[axis])
+                allow_t = jnp.moveaxis(allow, axis, 0).reshape(n, -1)
+                blocked = jnp.concatenate(
+                    [jnp.zeros((1, lab_t.shape[1]), dtype=bool),
+                     ~allow_t[:-1]], axis=0)
+                wall = jnp.cumsum(blocked.astype(jnp.int32), axis=0)
+            else:
+                wall = dummy_wall
             if first:
-                out = _axial_pass(lab_t, dummy_wall, w, bool(black_border))
+                out = _axial_pass(lab_t, wall, w, bool(black_border),
+                                  has_vg)
                 first = False
             else:
                 d_t = jnp.moveaxis(d, axis, 0).reshape(n, -1)
                 out = _parabola_pass_banded(
-                    d_t, lab_t, dummy_wall, w, bool(black_border),
-                    min(n - 1, 256),
+                    d_t, lab_t, wall, w, bool(black_border),
+                    min(n - 1, 256), has_vg,
                 )
             out = out.reshape(jnp.moveaxis(d, axis, 0).shape)
             d = jnp.moveaxis(out, 0, axis)
             d = jnp.where(lab == 0, 0.0, d)
 
         # ring pass along the sharded axis 0
-        d = _ring_parabola_pass(d, lab, anis[0], bool(black_border), n0, n_dev)
+        wall0 = None
+        if has_vg:
+            # GLOBAL wall-segment index along axis 0: local cumsum of
+            # blocked edges + per-line prefix of earlier shards' totals
+            # (one all_gather), so segments match the unsharded cumsum
+            n_loc = lab.shape[0]
+            L = lab.shape[1] * lab.shape[2]
+            allow0 = graph_allows(vg, _AXIS_UNIT[0]).reshape(n_loc, L)
+            my = jax.lax.axis_index(AXIS)
+            prev_allow = jax.lax.ppermute(
+                allow0[-1:], AXIS,
+                [(i, (i + 1) % n_dev) for i in range(n_dev)])
+            prev_allow = jnp.where(my == 0, True, prev_allow)
+            blocked = jnp.concatenate(
+                [~prev_allow, ~allow0[:-1]], axis=0).astype(jnp.int32)
+            local = jnp.cumsum(blocked, axis=0)
+            totals = jax.lax.all_gather(local[-1], AXIS)  # (n_dev, L)
+            prefix = jnp.sum(
+                jnp.where(jnp.arange(n_dev)[:, None] < my, totals, 0),
+                axis=0)
+            wall0 = local + prefix[None, :]
+        d = _ring_parabola_pass(d, lab, anis[0], bool(black_border), n0,
+                                n_dev, wall=wall0)
 
         d = jnp.where(lab == 0, 0.0, d)
         return d
@@ -216,17 +275,24 @@ def sharded_edtsq(
     mesh: Mesh,
     anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
     black_border: bool = False,
+    voxel_graph=None,
 ):
     """Multi-label anisotropic squared EDT with the volume sharded over the
     mesh's leading axis. Passes along unsharded axes are local
     (ops.edt._parabola_pass_banded); the sharded-axis pass is the ring
-    min-plus."""
+    min-plus. `voxel_graph`: optional cc3d-convention bitfield (sharded
+    like the volume); blocked axis edges act as label boundaries exactly
+    as in ops.edt.edtsq."""
     labels = jnp.asarray(labels)
     n0 = labels.shape[0]
     n_dev = mesh.devices.size
     assert n0 % n_dev == 0, "leading axis must divide evenly over the mesh"
     anis = tuple(float(a) for a in anisotropy)
-    return _edtsq_impl(mesh, n0, anis, bool(black_border))(labels)
+    has_vg = voxel_graph is not None
+    vg = (jnp.asarray(voxel_graph).astype(jnp.uint32) if has_vg
+          else jnp.zeros((n_dev, 1, 1), dtype=jnp.uint32))  # unread dummy
+    return _edtsq_impl(mesh, n0, anis, bool(black_border), has_vg)(
+        labels, vg)
 
 
 # --------------------------------------------------------------------------- #
@@ -377,22 +443,29 @@ def _distance_impl(mesh: Mesh, anis, node_mode: bool, rounds, max_rounds: int):
 
 
 def sharded_ccl_rounds(
-    labels, mesh: Mesh, rounds: "int | None" = None, max_rounds: int = 0
+    labels, mesh: Mesh, rounds: "int | None" = None, max_rounds: int = 0,
+    voxel_graph=None,
 ):
     """26-connected multi-label CCL by min-linear-index propagation with
     one-plane halo exchange per round + local pointer jumping.
 
     `rounds=None` (default) iterates on device until the psum'd
     changed-flag over the mesh reports a global fixpoint — component ids
-    are then exact for any topology. An integer runs a fixed count."""
+    are then exact for any topology. An integer runs a fixed count.
+    `voxel_graph`: optional cc3d-convention bitfield (sharded like the
+    volume) masking adjacency — the color_connectivity_graph analogue,
+    same gating as ops.ccl.connected_components."""
     labels = jnp.asarray(labels)
     if max_rounds <= 0:
         max_rounds = int(sum(labels.shape)) + 8
-    return _ccl_impl(mesh, rounds, int(max_rounds))(labels)
+    has_vg = voxel_graph is not None
+    vg = (jnp.asarray(voxel_graph).astype(jnp.uint32) if has_vg
+          else jnp.zeros((int(mesh.devices.size), 1, 1), dtype=jnp.uint32))
+    return _ccl_impl(mesh, rounds, int(max_rounds), has_vg)(labels, vg)
 
 
 @functools.lru_cache(maxsize=None)
-def _ccl_impl(mesh: Mesh, rounds, max_rounds: int):
+def _ccl_impl(mesh: Mesh, rounds, max_rounds: int, has_vg: bool = False):
     """Cached jitted sharded-CCL program (see _edtsq_impl's rationale)."""
     n_dev = mesh.devices.size
 
@@ -400,11 +473,11 @@ def _ccl_impl(mesh: Mesh, rounds, max_rounds: int):
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(AXIS),),
+        in_specs=(P(AXIS), P(AXIS)),
         out_specs=P(AXIS),
         check_rep=False,
     )
-    def impl(lab):
+    def impl(lab, vg):
         my = jax.lax.axis_index(AXIS)
         shape = lab.shape
         n_loc = shape[0]
@@ -428,12 +501,22 @@ def _ccl_impl(mesh: Mesh, rounds, max_rounds: int):
 
             ids_ext = jnp.concatenate([prev_ids, ids, next_ids], axis=0)
             lab_ext = jnp.concatenate([prev_lab, lab, next_lab], axis=0)
+            if has_vg:
+                prev_vg = jax.lax.ppermute(vg[-1:], AXIS, fwd)
+                next_vg = jax.lax.ppermute(vg[:1], AXIS, bwd)
+                vg_ext = jnp.concatenate([prev_vg, vg, next_vg], axis=0)
 
             best = ids
             for off in OFFSETS26:
                 nb_ids = shifted(ids_ext, off, 0)[1:-1]
                 nb_lab = shifted(lab_ext, off, 0)[1:-1]
                 okn = fg & (nb_lab == lab) & (nb_ids > 0) & (nb_ids < best)
+                if has_vg:
+                    # bit at the NEIGHBOR voxel for the step back toward
+                    # this voxel (same convention as ops.ccl._ccl_stage)
+                    neg = tuple(-c for c in off)
+                    okn = okn & shifted(
+                        graph_allows(vg_ext, neg), off, False)[1:-1]
                 best = jnp.where(okn, nb_ids, best)
 
             # local pointer jumping (only ids resident in this shard)

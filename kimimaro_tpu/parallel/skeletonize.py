@@ -35,19 +35,23 @@ from .sharded import (
 from jax.sharding import PartitionSpec as P
 
 
-def _gather_crops_sharded(cc, dbf, offs, mesh, bshape):
+def _gather_crops_sharded(cc, dbf, offs, mesh, bshape, vg=None):
     """Batched device-side crop gather off a mesh-sharded volume: each
     device slices every requested crop's intersection with its local
     axis-0 shard (zeros elsewhere) and one psum assembles the replicated
     crop stacks — O(1) collective dispatches per engine chunk instead of a
-    per-label host device_get loop (VERDICT r3 item 7)."""
+    per-label host device_get loop (VERDICT r3 item 7). `vg`: optional
+    voxel_graph volume gathered alongside (same shard layout)."""
     B0 = int(bshape[0])
+    has_vg = vg is not None
 
-    def local(cc_l, dbf_l, offs_l):
+    def local(cc_l, dbf_l, vg_l, offs_l):
         h = cc_l.shape[0]
         start = jax.lax.axis_index(AXIS).astype(jnp.int32) * h
         ccp = jnp.pad(cc_l, ((B0, B0), (0, 0), (0, 0)))
         dbp = jnp.pad(dbf_l, ((B0, B0), (0, 0), (0, 0)))
+        vgp = (jnp.pad(vg_l, ((B0, B0), (0, 0), (0, 0)))
+               if has_vg else None)
         rows = jnp.arange(B0, dtype=jnp.int32)
 
         def one(o):
@@ -58,18 +62,26 @@ def _gather_crops_sharded(cc, dbf, offs, mesh, bshape):
             c = jax.lax.dynamic_slice(ccp, (s0, o[1], o[2]), bshape)
             d = jax.lax.dynamic_slice(dbp, (s0, o[1], o[2]), bshape)
             m = (o[0] + rows >= start) & (o[0] + rows < start + h)
-            return (jnp.where(m[:, None, None], c, 0),
-                    jnp.where(m[:, None, None], d, 0.0))
+            out = (jnp.where(m[:, None, None], c, 0),
+                   jnp.where(m[:, None, None], d, 0.0))
+            if has_vg:
+                g = jax.lax.dynamic_slice(vgp, (s0, o[1], o[2]), bshape)
+                out = out + (jnp.where(m[:, None, None], g,
+                                       jnp.uint32(0)),)
+            return out
 
-        c, d = jax.vmap(one)(offs_l)
-        return jax.lax.psum(c, AXIS), jax.lax.psum(d, AXIS)
+        outs = jax.vmap(one)(offs_l)
+        return tuple(jax.lax.psum(x, AXIS) for x in outs)
 
+    n_out = 3 if has_vg else 2
     fn = jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=tuple(P() for _ in range(n_out)),
     ))
-    return fn(cc, dbf, offs)
+    if not has_vg:
+        vg = jnp.zeros((int(mesh.devices.size), 1, 1), dtype=jnp.uint32)
+    return fn(cc, dbf, vg, offs)
 
 
 def skeletonize_sharded(
@@ -84,14 +96,18 @@ def skeletonize_sharded(
     fix_borders: bool = True,  # matches the single-chip driver's default
     extra_targets_before=None,
     extra_targets_after=None,
+    voxel_graph=None,
     progress: bool = False,
 ) -> Dict[int, "object"]:
     """Skeletonize a labeled volume sharded over a device mesh.
 
     Semantics match `kimimaro_tpu.skeletonize` for the supported surface
-    (no fill_holes / fix_avocados / voxel_graph on the sharded path — route
-    those volumes through the single-chip driver). Returns {label: Skeleton}
-    in physical space.
+    (no fill_holes / fix_avocados on the sharded path — route those
+    volumes through the single-chip driver). `voxel_graph`: optional
+    cc3d-convention adjacency bitfield (same shape as the volume); it
+    shards with the volume and gates CCL, EDT walls, and every in-kernel
+    trace sweep exactly like the single-chip driver. Returns
+    {label: Skeleton} in physical space.
     """
     from .. import engine, intake
     from ..intake import DEFAULT_TEASAR_PARAMS
@@ -133,8 +149,17 @@ def skeletonize_sharded(
 
     lab_dev = shard_volume(jnp.asarray(upload), mesh)
 
+    vg_dev = None
+    if voxel_graph is not None:
+        vg = np.asarray(voxel_graph)
+        assert vg.shape == labels.shape, "voxel_graph must match the volume"
+        if pad:
+            vg = np.concatenate(
+                [vg, np.zeros((pad,) + vg.shape[1:], vg.dtype)], axis=0)
+        vg_dev = shard_volume(jnp.asarray(vg).astype(jnp.uint32), mesh)
+
     # --- sharded preamble: CCL to fixpoint + multi-label EDT (ring pass)
-    ids_raw = sharded_ccl_rounds(lab_dev, mesh)
+    ids_raw = sharded_ccl_rounds(lab_dev, mesh, voxel_graph=vg_dev)
     cc_dev, n_comp, rep_prefix = compact_cc(ids_raw)
     n_components = int(n_comp)
     if n_components == 0:
@@ -142,7 +167,8 @@ def skeletonize_sharded(
     del ids_raw
 
     dsq = sharded_edtsq(
-        lab_dev, mesh, anisotropy, black_border=(minlabel == maxlabel)
+        lab_dev, mesh, anisotropy, black_border=(minlabel == maxlabel),
+        voxel_graph=vg_dev,
     )
     dbf_dev = jnp.sqrt(dsq)
 
@@ -219,7 +245,7 @@ def skeletonize_sharded(
 
     g_results: Dict[int, list] = {}
     if _os.environ.get("KIMIMARO_TPU_SHARDED_GENGINE", "1") != "0" \
-            and len(jobs) >= 2:
+            and vg_dev is None and len(jobs) >= 2:
         from .gengine import trace_global_sharded
 
         g_results, jobs = trace_global_sharded(
@@ -236,16 +262,20 @@ def skeletonize_sharded(
     def crop_source(crop_offs, n_real, bshape):
         offs = np.zeros((len(crop_offs), 3), np.int32)
         offs[:n_real] = np.asarray(crop_offs[:n_real], dtype=np.int32)
-        ccs, dbs = _gather_crops_sharded(
+        got = _gather_crops_sharded(
             cc_dev, dbf_dev, jnp.asarray(offs), mesh,
-            tuple(int(b) for b in bshape),
+            tuple(int(b) for b in bshape), vg=vg_dev,
         )
         lane = jnp.arange(len(crop_offs))[:, None, None, None] < n_real
-        return jnp.where(lane, ccs, 0), jnp.where(lane, dbs, 0.0)
+        out = (jnp.where(lane, got[0], 0), jnp.where(lane, got[1], 0.0))
+        if vg_dev is not None:
+            out = out + (jnp.where(lane, got[2], jnp.uint32(0)),)
+        return out
 
     results, fallback_jobs = engine.trace_batched(
         cc_dev, dbf_dev, jobs, teasar_params, anisotropy,
         fix_branching, progress=progress, crop_source=crop_source,
+        voxel_graph=vg_dev,
     )
     results.update(g_results)
 
@@ -265,7 +295,7 @@ def skeletonize_sharded(
     # _run_host_fallback slices each job's bbox from the sharded arrays
     # directly (crop-sized fetches only)
     intake._run_host_fallback(
-        fallback_jobs, cc_dev, dbf_dev, None, remapping, skeletons,
+        fallback_jobs, cc_dev, dbf_dev, vg_dev, remapping, skeletons,
         teasar_params, anisotropy, fix_branching,
     )
 

@@ -226,7 +226,7 @@ def test_gengine_shapes_independent_of_label_population():
     tiers = gengine._tier_crops((512, 512, 512))
     assert tiers == [(16, 16, 16), (32, 32, 32), (48, 48, 48),
                      (64, 64, 64), (96, 96, 96), (128, 128, 128),
-                     (192, 192, 192), (256, 256, 256)]
+                     (192, 192, 192), (256, 256, 256), (384, 384, 384)]
     # lane buckets quantize to powers of two (min 4)
     assert gengine._lane_bucket(0) == 4
     assert gengine._lane_bucket(3) == 4

@@ -227,3 +227,91 @@ def test_sharded_gengine_traces_without_crop_gather(mesh_small, monkeypatch):
         labels, mesh=mesh, anisotropy=(1, 1, 1), dust_threshold=10)
     assert sorted(out) == [1, 2, 3, 4, 5, 6]
     assert len(calls) == 0, calls
+
+
+def test_sharded_voxel_graph_equals_single_chip(mesh_small):
+    """voxel_graph (self-touch walls) on the sharded path: CCL splitting,
+    EDT walls (incl. along the SHARDED axis via the ring pass's global
+    wall segments), and the trace must all match the single-chip driver
+    (VERDICT r4 item 7)."""
+    from kimimaro_tpu.ops.stencils import GRAPH_BITS
+
+    mesh = mesh_small
+    ALL = np.uint32((1 << 26) - 1)
+    labels = np.zeros((16, 12, 8), dtype=np.uint32)
+    labels[2:14, 4:8, 2:6] = 7  # one bar crossing every shard
+
+    # wall between x=7 and x=8 (a shard boundary region): the single
+    # label must split into two components on both paths
+    vg = np.full(labels.shape, ALL, dtype=np.uint32)
+    lo = hi = np.uint32(ALL)
+    for o, b in GRAPH_BITS.items():
+        if o[0] == 1:
+            lo &= np.uint32(~(1 << b) & 0x3FFFFFF)
+        if o[0] == -1:
+            hi &= np.uint32(~(1 << b) & 0x3FFFFFF)
+    vg[7] = lo
+    vg[8] = hi
+
+    single = kimimaro_tpu.skeletonize(
+        labels, anisotropy=(1, 1, 1), dust_threshold=10, voxel_graph=vg
+    )
+    sharded = skeletonize_sharded(
+        labels, mesh=mesh, anisotropy=(1, 1, 1), dust_threshold=10,
+        voxel_graph=vg,
+    )
+    assert sorted(single) == sorted(sharded)
+    assert len(single) >= 1
+    for k in single:
+        assert _vertex_set(single[k]) == _vertex_set(sharded[k])
+
+
+def test_sharded_edt_ccl_voxel_graph_equal_single_chip(mesh_small):
+    """Field-level equality: sharded CCL/EDT with a voxel_graph equal the
+    single-chip kernels bit-for-bit, wall along the sharded axis."""
+    import jax.numpy as jnp
+
+    from kimimaro_tpu.ops import edt as edt_ops
+    from kimimaro_tpu.ops.ccl import connected_components
+    from kimimaro_tpu.ops.stencils import GRAPH_BITS
+    from kimimaro_tpu.parallel import shard_volume
+    from kimimaro_tpu.parallel.sharded import (
+        sharded_ccl_rounds, sharded_edtsq)
+
+    mesh = mesh_small
+    ALL = np.uint32((1 << 26) - 1)
+    rng = np.random.RandomState(3)
+    labels = (rng.rand(8, 6, 5) > 0.3).astype(np.uint8)
+    vg = np.full(labels.shape, ALL, dtype=np.uint32)
+    lo = hi = np.uint32(ALL)
+    for o, b in GRAPH_BITS.items():
+        if o[0] == 1:
+            lo &= np.uint32(~(1 << b) & 0x3FFFFFF)
+        if o[0] == -1:
+            hi &= np.uint32(~(1 << b) & 0x3FFFFFF)
+    vg[3] = lo
+    vg[4] = hi
+
+    lab_dev = shard_volume(jnp.asarray(labels), mesh)
+    vg_dev = shard_volume(jnp.asarray(vg), mesh)
+
+    dsq_sh = np.asarray(sharded_edtsq(
+        lab_dev, mesh, (2.0, 1.0, 1.0), black_border=True,
+        voxel_graph=vg_dev))
+    dsq_single = np.asarray(edt_ops.edtsq(
+        labels, (2.0, 1.0, 1.0), black_border=True, voxel_graph=vg))
+    np.testing.assert_allclose(dsq_sh, dsq_single, rtol=0, atol=0)
+
+    ids_sh = np.asarray(sharded_ccl_rounds(lab_dev, mesh, voxel_graph=vg_dev))
+    ids_single = np.asarray(connected_components(labels, voxel_graph=vg))
+    # component PARTITIONS must agree (id values are scheme-specific)
+    from collections import defaultdict
+
+    def parts(ids):
+        groups = defaultdict(set)
+        for idx, v in np.ndenumerate(ids):
+            if labels[idx]:
+                groups[int(v)].add(idx)
+        return sorted(frozenset(g) for g in groups.values())
+
+    assert parts(ids_sh) == parts(ids_single)
