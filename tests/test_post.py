@@ -213,3 +213,54 @@ def test_extract_skeleton_from_binary_image():
     skel = kimimaro_tpu.extract_skeleton_from_binary_image(img)
     assert skel.vertices.shape[0] == 10
     assert skel.edges.shape[0] == 9
+
+
+def test_join_close_components_sparse_equals_quadratic():
+    """The finite-radius sparse path (global query_pairs + link folding)
+    must produce the same joined skeleton as the radius=inf quadratic
+    greedy when every gap is within radius."""
+    import numpy as np
+
+    from kimimaro_tpu.post import join_close_components
+    from kimimaro_tpu.skeleton import Skeleton
+
+    rng = np.random.RandomState(5)
+    pieces = []
+    for i in range(12):
+        n = rng.randint(3, 9)
+        base = rng.rand(3) * 50
+        verts = base + np.cumsum(rng.rand(n, 3) * 1.5, axis=0)
+        edges = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+        s = Skeleton(
+            vertices=verts.astype(np.float32),
+            edges=edges.astype(np.uint32),
+            radii=rng.rand(n).astype(np.float32) + 0.2,
+        )
+        pieces.append(s)
+    merged_all = Skeleton.simple_merge(pieces)
+
+    got_inf = join_close_components(merged_all.clone(), radius=np.inf)
+    got_big = join_close_components(merged_all.clone(), radius=1e6)
+    assert got_inf.vertices.shape == got_big.vertices.shape
+    assert Skeleton.equivalent(got_inf, got_big)
+
+    # finite radius smaller than some gaps: sparse path must leave the
+    # far components unjoined, exactly like a per-pair measure would
+    got_small = join_close_components(merged_all.clone(), radius=3.0)
+    import scipy.sparse.csgraph as csg
+    import scipy.sparse as sp
+
+    n = len(got_small.vertices)
+    adj = sp.coo_matrix(
+        (np.ones(len(got_small.edges)),
+         (got_small.edges[:, 0], got_small.edges[:, 1])), shape=(n, n))
+    ncomp, _ = csg.connected_components(adj, directed=False)
+    # every remaining gap between distinct components exceeds the radius
+    from scipy.spatial import cKDTree
+
+    comps = got_small.components()
+    for i in range(len(comps)):
+        t = cKDTree(comps[i].vertices)
+        for j in range(i + 1, len(comps)):
+            d, _ = t.query(comps[j].vertices, k=1)
+            assert d.min() > 3.0
