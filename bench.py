@@ -421,6 +421,11 @@ def main():
     jax.devices()
     init_done.set()
 
+    # export-cache the non-donating kernels too: XLA's persistent cache
+    # skips compiles but every fresh process still re-TRACES each program
+    # (~100 s of host time at 512^3 on this 1-core box); donating kernels
+    # (gengine _iteration) keep the direct jit call on accelerators
+    os.environ.setdefault("KIMIMARO_TPU_PROGCACHE", "1")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     # persist EVERY compile: the warm run otherwise re-pays ~60 sub-second

@@ -927,7 +927,8 @@ def trace_global(
                 daf, dbf, cc_x, cc_y, cc_z, cc16,
                 offs_d, lids_d, roots_h,
                 before_d, after_d, mp_d,
-                jnp.float32(scale), jnp.float32(const))
+                jnp.float32(scale), jnp.float32(const),
+                donates=True)
             it += 1
             seg_rows = it_w + 1
             pending.append((it - 1, stats, ball_mask, rail_mask))

@@ -92,18 +92,27 @@ def _source_hash() -> str:
     return _src_hash
 
 
-def call(name: str, jitted_fn, static_kwargs: dict, *args):
+def call(name: str, jitted_fn, static_kwargs: dict, *args,
+         donates: bool = False):
     """`jitted_fn(*args, **static_kwargs)` through the export cache.
 
     jitted_fn: a jax.jit-wrapped callable whose `static_kwargs` are all
     hashable statics; args: array/scalar positional arguments. Falls back
     to the direct call when the cache is disabled or export fails (e.g.
-    primitives without StableHLO serialization on this backend)."""
+    primitives without StableHLO serialization on this backend).
+
+    donates=True marks functions whose jit donates input buffers: the
+    export path drops donation, so on accelerators those keep the direct
+    jit call (HBM headroom matters at 512^3); on CPU the export path
+    still applies (the test suite's tracing cost dominates there)."""
     if not enabled():
         return jitted_fn(*args, **static_kwargs)
 
     import jax
     import numpy as np
+
+    if donates and jax.default_backend() != "cpu":
+        return jitted_fn(*args, **static_kwargs)
 
     sig = ",".join(
         f"{tuple(getattr(a, 'shape', ()))}:"
