@@ -205,14 +205,22 @@ def connected_components(labels, voxel_graph=None) -> jnp.ndarray:
     # slowest primitive on TPU, so it only runs when sweeps alone stall).
     # ONE fixed stage size: warm restarts repeat the same compiled program
     # (each new 512^3 program variant costs minutes of XLA compile; extra
-    # launches of a cached one cost milliseconds)
+    # launches of a cached one cost milliseconds).
+    # KIMIMARO_TPU_CCL_PHASE2=sweep runs jump-free escalation stages
+    # instead — on winding-tube volumes the jumps (random 134M-element
+    # gathers) can dominate the phase; both forms converge exactly.
+    import os as _os
+
+    p2 = _os.environ.get("KIMIMARO_TPU_CCL_PHASE2", "jump")
+    phase2 = 1 if p2 == "sweep" else 2
+    rounds2 = 8 if p2 == "sweep" else 4
     while not bool(conv):
         if use_gsweep:
-            ids, conv = _ccl_stage_gsweep(ids, labels_i32, phase=2,
-                                          rounds=4)
+            ids, conv = _ccl_stage_gsweep(ids, labels_i32, phase=phase2,
+                                          rounds=rounds2)
         else:
-            ids, conv = _ccl_stage(ids, labels, vg, has_vg=has_vg, phase=2,
-                                   rounds=4)
+            ids, conv = _ccl_stage(ids, labels, vg, has_vg=has_vg,
+                                   phase=phase2, rounds=rounds2)
     return jnp.where(fg, ids, 0)
 
 
