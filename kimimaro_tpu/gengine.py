@@ -368,27 +368,34 @@ def _root_daf_phase(probe, cc_x, cc_y, cc_z, cc16, offs, lids,
     return roots, daf, mask, jnp.sum(mask, dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("anisotropy", "rounds"))
-def _broadcast_phase(daf, dbf, cc_x, cc_y, cc_z, anisotropy, rounds):
+@functools.partial(jax.jit, static_argnames=("anisotropy", "rounds",
+                                              "dual"))
+def _broadcast_phase(daf, dbf, cc_x, cc_y, cc_z, anisotropy, rounds,
+                     dual=False):
     """Per-label scalar broadcasts as maxflood sweeps: per-voxel label-max
     of dbf^1.01 (the PDRF M term, reference trace.py:329-336) and of DAF
     (the normalization term). A 134M-element table gather costs ~1.19s on
     the v5e (measured; TPU gathers are scalar-unit work), so the old
     m_table[cc] / inv_maxdaf[cc] broadcasts dominated this phase; two
-    maxflood relaxes are bandwidth-bound sweeps instead. Computing
-    dbf_max^1.01 on device also matches the crop engine's in-kernel M
-    bit-for-bit (engine._one_label)."""
+    maxflood relaxes are bandwidth-bound sweeps instead (one fused
+    two-field relax when `dual` — per-field results bit-identical).
+    Computing dbf_max^1.01 on device also matches the crop engine's
+    in-kernel M bit-for-bit (engine._one_label)."""
     cc_v = gsweep.MaskViews.from_views(cc_x, cc_y, cc_z)
     fg = cc_x > 0
     daf = jnp.where(jnp.isfinite(daf), daf, 0.0)
     dbfp = jnp.where(fg, jnp.power(dbf, np.float32(1.01)), NEG_INF)
-    m_fl, mask_m = gsweep.relax_full(dbfp, cc_v, None, None, anisotropy,
-                                     rounds, mode="maxflood",
-                                     return_mask=True)
     d0 = jnp.where(fg, daf, NEG_INF)
-    d_fl, mask_d = gsweep.relax_full(d0, cc_v, None, None, anisotropy,
-                                     rounds, mode="maxflood",
-                                     return_mask=True)
+    if dual:
+        (m_fl, d_fl), (mask_m, mask_d) = gsweep.relax_full_dual(
+            dbfp, d0, cc_v, None, None, anisotropy, rounds, kind="max2")
+    else:
+        m_fl, mask_m = gsweep.relax_full(dbfp, cc_v, None, None, anisotropy,
+                                         rounds, mode="maxflood",
+                                         return_mask=True)
+        d_fl, mask_d = gsweep.relax_full(d0, cc_v, None, None, anisotropy,
+                                         rounds, mode="maxflood",
+                                         return_mask=True)
     return (daf, m_fl, mask_m, jnp.sum(mask_m, dtype=jnp.int32),
             d_fl, mask_d, jnp.sum(mask_d, dtype=jnp.int32))
 
@@ -435,7 +442,7 @@ def _pdrf_rail_phase(daf, dbf, m_fl, d_fl, cc_x, cc_y, cc_z,
 @functools.partial(
     jax.jit,
     static_argnames=("groups", "anisotropy", "r_ball", "r_warm",
-                     "fix_branching", "L"),
+                     "fix_branching", "L", "dual"),
     donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
 )
 def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
@@ -444,7 +451,8 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
                offs, lids, roots,
                before_stack, after_stack, max_paths_arr,
                scale, const,
-               groups, anisotropy, r_ball, r_warm, fix_branching, L):
+               groups, anisotropy, r_ball, r_warm, fix_branching, L,
+               dual=False):
     """One lock-step path iteration for every still-active label:
     target -> chase -> rolling-ball invalidation -> rail rezero + warm
     re-relax (reference trace.py:225-263; exact semantics from
@@ -499,26 +507,42 @@ def _iteration(valid, pdrf, d_rail, nb, na, done, path_buf, len_buf,
     ball0 = ball0.reshape(vol_shape)
     ok = valid.ravel().at[pf].max(pmask.astype(valid.dtype)).reshape(vol_shape)
     ok_v = gsweep.MaskViews(ok)
-    ball_d, ball_mask = gsweep.relax_escalated(
-        ball0, cc_v, None, ok_v, anisotropy, r_ball, mode="euclid",
-        clamp_positive=True, conv="negative",
-        extra_stages=EXTRA_ROUND_STAGES, extra_rounds=4)
-    ball = ball_d <= 0.0
-    valid = jnp.where(ball, 0, valid).astype(valid.dtype)
-
-    # --- new rails (reference trace.py:261-263)
-    if fix_branching:
+    if fix_branching and dual:
+        # fused ball+rail relax: the path rezeroes run first (they do not
+        # depend on the ball), then ONE dual-field escalated relax covers
+        # both — per-field results bit-identical to the separate calls
         zero = jnp.where(pmask, 0.0, INF)
         pdrf = pdrf.ravel().at[pf].min(zero).reshape(vol_shape)
         d_rail = d_rail.ravel().at[pf].min(zero).reshape(vol_shape)
         nc_v = gsweep.MaskViews(pdrf)
-        d_rail, rail_mask = gsweep.relax_escalated(
-            d_rail, cc_v, nc_v, None, anisotropy, r_warm, mode="node",
-            extra_stages=EXTRA_ROUND_STAGES, extra_rounds=4)
+        (ball_d, d_rail), (ball_mask, rail_mask) = gsweep.relax_escalated_dual(
+            ball0, d_rail, cc_v, nc_v, ok_v, anisotropy, r_ball,
+            kind="ball_rail", extra_stages=EXTRA_ROUND_STAGES,
+            extra_rounds=4)
         n_chg_rail = jnp.sum(rail_mask, dtype=jnp.int32)
+        ball = ball_d <= 0.0
+        valid = jnp.where(ball, 0, valid).astype(valid.dtype)
     else:
-        rail_mask = jnp.zeros(vol_shape, dtype=bool)
-        n_chg_rail = jnp.int32(0)
+        ball_d, ball_mask = gsweep.relax_escalated(
+            ball0, cc_v, None, ok_v, anisotropy, r_ball, mode="euclid",
+            clamp_positive=True, conv="negative",
+            extra_stages=EXTRA_ROUND_STAGES, extra_rounds=4)
+        ball = ball_d <= 0.0
+        valid = jnp.where(ball, 0, valid).astype(valid.dtype)
+
+        # --- new rails (reference trace.py:261-263)
+        if fix_branching:
+            zero = jnp.where(pmask, 0.0, INF)
+            pdrf = pdrf.ravel().at[pf].min(zero).reshape(vol_shape)
+            d_rail = d_rail.ravel().at[pf].min(zero).reshape(vol_shape)
+            nc_v = gsweep.MaskViews(pdrf)
+            d_rail, rail_mask = gsweep.relax_escalated(
+                d_rail, cc_v, nc_v, None, anisotropy, r_warm, mode="node",
+                extra_stages=EXTRA_ROUND_STAGES, extra_rounds=4)
+            n_chg_rail = jnp.sum(rail_mask, dtype=jnp.int32)
+        else:
+            rail_mask = jnp.zeros(vol_shape, dtype=bool)
+            n_chg_rail = jnp.int32(0)
 
     # --- bookkeeping
     path_buf = jax.lax.dynamic_update_slice(
@@ -656,6 +680,13 @@ def trace_global(
     # iteration pays a repair continuation instead
     r_warm = int(os.environ.get("KIMIMARO_TPU_GENGINE_RWARM",
                                 str(max(3, (r_main + 2) // 3))))
+    # fused two-field relaxes (ball+rail per iteration, the two setup
+    # maxfloods): same math, half the sweep launches and one cc read per
+    # plane step. Requires equal ball/warm depths (the fused rounds are
+    # shared); env 0 restores the separate relaxes for A/B measurement.
+    dual_env = os.environ.get("KIMIMARO_TPU_GENGINE_DUAL", "auto")
+    dual_on = (dual_env not in ("0", "off")
+               and bool(fix_branching) and r_ball == r_warm)
 
     # --- host-side job arrays (global frame)
     lids = np.zeros(N, dtype=np.int32)
@@ -775,7 +806,8 @@ def trace_global(
 
     (daf, m_fl, mask_m, n_chg_m, d_fl, mask_d, n_chg_d) = progcache.call(
         "gengine_broadcast", _broadcast_phase,
-        dict(anisotropy=anis, rounds=r_main),
+        dict(anisotropy=anis, rounds=r_main,
+             dual=dual_env not in ("0", "off")),
         daf, dbf, cc_x, cc_y, cc_z)
     m_fl = _continue_until(m_fl, mask_m, n_chg_m, mode="maxflood",
                            phase="m_broadcast")
@@ -891,7 +923,7 @@ def trace_global(
 
     iter_statics = dict(
         groups=groups, anisotropy=anis, r_ball=r_ball, r_warm=r_warm,
-        fix_branching=bool(fix_branching), L=L)
+        fix_branching=bool(fix_branching), L=L, dual=dual_on)
 
     def _land(pit, pstats, pbmask, prmask):
         """Fetch a landed iteration's flags; taint labels whose ball/rail

@@ -405,6 +405,230 @@ def relax_full(d, cc_v: MaskViews, nc_v, ok_v, anisotropy, rounds: int,
     return nd, ~jnp.any(mask)
 
 
+def _dual_kernel_factory(costs9, kind: str, H: int, W: int, B: int,
+                         descending: bool):
+    """Fused two-field sweep kernels. The gengine's lock-step iteration
+    relaxes an invalidation ball (euclid + okmask + clamp_positive) and a
+    rail field (node) back to back over the same volume — 36 separate
+    Pallas launches per iteration re-reading the shared cc ids each time.
+    Its setup likewise runs two independent maxflood broadcasts. Fusing
+    each pair halves the launch count and reads cc once per plane step.
+
+    kind="ball_rail": field A = euclid/clamp_positive with okmask, field
+    B = node with nodecost. Occupancy folding uses ONE carried cc plane
+    (plain cc>0, field B's rule); field A's stricter occupancy (cc>0 & ok)
+    is preserved by writing +inf into its carried plane at non-ok voxels,
+    which blocks propagation identically (a neighbor that passes the cc
+    test but holds +inf contributes nothing to a min).
+
+    kind="max2": two independent maxflood fields, shared occupancy.
+
+    Per-field results are bit-identical to the corresponding single-field
+    kernels (tests/test_gsweep.py)."""
+    if kind == "max2":
+        fill = NEG_INF
+    else:
+        fill = INF
+
+    def kernel(*refs):
+        if kind == "ball_rail":
+            (a_ref, b_ref, cc_ref, nc_ref, ok_ref,
+             a_out, b_out, pa_ref, pb_ref, pcc_ref) = refs
+        else:
+            (a_ref, b_ref, cc_ref,
+             a_out, b_out, pa_ref, pb_ref, pcc_ref) = refs
+            nc_ref = ok_ref = None
+
+        import jax.experimental.pallas as pl
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            pa_ref[...] = jnp.full((H + 2, W + 2), fill, jnp.float32)
+            pb_ref[...] = jnp.full((H + 2, W + 2), fill, jnp.float32)
+            pcc_ref[...] = jnp.full((H + 2, W + 2), -1, jnp.int32)
+
+        order = range(B - 1, -1, -1) if descending else range(B)
+        for b in order:
+            cur_a = a_ref[b]
+            cur_b = b_ref[b]
+            ccc = cc_ref[b]
+            occupied = ccc > 0
+            if kind == "ball_rail":
+                occ_a = occupied & (ok_ref[b] != 0)
+            else:
+                occ_a = occupied
+
+            cand_a = jnp.full_like(cur_a, fill)
+            cand_b = jnp.full_like(cur_b, fill)
+            for (dy, dz), c in costs9:
+                sc = pcc_ref[1 + dy:1 + dy + H, 1 + dz:1 + dz + W]
+                same = sc == ccc
+                sva = jnp.where(
+                    same, pa_ref[1 + dy:1 + dy + H, 1 + dz:1 + dz + W],
+                    fill)
+                svb = jnp.where(
+                    same, pb_ref[1 + dy:1 + dy + H, 1 + dz:1 + dz + W],
+                    fill)
+                if kind == "ball_rail":
+                    cand_a = jnp.minimum(cand_a, sva + c)
+                    cand_b = jnp.minimum(cand_b, svb)
+                else:
+                    cand_a = jnp.maximum(cand_a, sva)
+                    cand_b = jnp.maximum(cand_b, svb)
+            if kind == "ball_rail":
+                new_a = jnp.where(occ_a, jnp.minimum(cur_a, cand_a), INF)
+                new_a = jnp.where(new_a > 0.0, INF, new_a)  # clamp_positive
+                cand_b = cand_b + nc_ref[b]
+                new_b = jnp.where(occupied, jnp.minimum(cur_b, cand_b), INF)
+            else:
+                new_a = jnp.where(occupied, jnp.maximum(cur_a, cand_a), fill)
+                new_b = jnp.where(occupied, jnp.maximum(cur_b, cand_b), fill)
+            a_out[b] = new_a
+            b_out[b] = new_b
+            # field A's occupancy difference folds into its carried VALUES
+            # (+inf at non-ok voxels blocks propagation); the carried cc
+            # plane uses the shared cc>0 rule
+            pa_ref[1:H + 1, 1:W + 1] = (
+                jnp.where(occ_a, new_a, fill) if kind == "ball_rail"
+                else new_a)
+            pb_ref[1:H + 1, 1:W + 1] = new_b
+            pcc_ref[1:H + 1, 1:W + 1] = jnp.where(occupied, ccc, -1)
+
+    return kernel
+
+
+def _sweep0_pallas_dual(da, db, cc, nodecost, okmask, anis_perm,
+                        kind: str, descending: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from . import pallas_sweep
+
+    n, H, W = da.shape
+    costs9 = _costs9(anis_perm)
+    n_operands = 5 + 2 * (kind == "ball_rail")
+    B = _plane_block(n, H, W, n_operands)
+    kernel = _dual_kernel_factory(costs9, kind, H, W, B, descending)
+    nb = n // B
+
+    if descending:
+        def imap(i):
+            return (nb - 1 - i, 0, 0)
+    else:
+        def imap(i):
+            return (i, 0, 0)
+
+    spec = pl.BlockSpec((B, H, W), imap)
+    ins = [da, db, cc]
+    if kind == "ball_rail":
+        ins.extend([nodecost, okmask])
+    in_specs = [spec] * len(ins)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((n, H, W), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((H + 2, W + 2), jnp.float32),
+            pltpu.VMEM((H + 2, W + 2), jnp.float32),
+            pltpu.VMEM((H + 2, W + 2), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=pallas_sweep.INTERPRET,
+    )(*ins)
+
+
+def one_round_dual(da, db, cc_v: MaskViews, nc_v, ok_v, anisotropy,
+                   kind: str):
+    """One full +-x/+-y/+-z round of the fused two-field sweep."""
+    ax, ay, az = (float(a) for a in anisotropy)
+
+    def pair(aa, bb, ccv, ncv, okv, anis_perm):
+        aa, bb = _sweep0_pallas_dual(aa, bb, ccv, ncv, okv, anis_perm,
+                                     kind, False)
+        aa, bb = _sweep0_pallas_dual(aa, bb, ccv, ncv, okv, anis_perm,
+                                     kind, True)
+        return aa, bb
+
+    nc = (None, None, None) if nc_v is None else (nc_v.x, nc_v.y, nc_v.z)
+    ok = (None, None, None) if ok_v is None else (ok_v.x, ok_v.y, ok_v.z)
+
+    da, db = pair(da, db, cc_v.x, nc[0], ok[0], (ax, ay, az))
+    da = jnp.transpose(da, _PERM_TO_Y)
+    db = jnp.transpose(db, _PERM_TO_Y)
+    da, db = pair(da, db, cc_v.y, nc[1], ok[1], (ay, ax, az))
+    da = jnp.transpose(da, _PERM_Y_TO_Z)
+    db = jnp.transpose(db, _PERM_Y_TO_Z)
+    da, db = pair(da, db, cc_v.z, nc[2], ok[2], (az, ax, ay))
+    return (jnp.transpose(da, _PERM_Z_TO_X),
+            jnp.transpose(db, _PERM_Z_TO_X))
+
+
+def relax_full_dual(da, db, cc_v: MaskViews, nc_v, ok_v, anisotropy,
+                    rounds: int, kind: str = "ball_rail"):
+    """`rounds` fused two-field rounds; the last round doubles as the
+    convergence check (relax_full contract). Falls back to two separate
+    relax_full calls off the Pallas path — the fields are independent, so
+    the separated form is round-identical to the fused kernel. Returns
+    ((da, db), (mask_a, mask_b)): per-field last-round change masks
+    (field A under conv="negative" for ball_rail, field B / max2 exact)."""
+    if not _use_pallas():
+        if kind == "ball_rail":
+            ra, ma = relax_full(da, cc_v, None, ok_v, anisotropy, rounds,
+                                mode="euclid", clamp_positive=True,
+                                conv="negative", return_mask=True)
+            rb, mb = relax_full(db, cc_v, nc_v, None, anisotropy, rounds,
+                                mode="node", return_mask=True)
+        else:
+            ra, ma = relax_full(da, cc_v, None, None, anisotropy, rounds,
+                                mode="maxflood", return_mask=True)
+            rb, mb = relax_full(db, cc_v, None, None, anisotropy, rounds,
+                                mode="maxflood", return_mask=True)
+        return (ra, rb), (ma, mb)
+
+    def body(dd, _):
+        return one_round_dual(dd[0], dd[1], cc_v, nc_v, ok_v, anisotropy,
+                              kind), None
+
+    (a1, b1), _ = jax.lax.scan(body, (da, db), None,
+                               length=max(int(rounds), 1) - 1)
+    na, nb = one_round_dual(a1, b1, cc_v, nc_v, ok_v, anisotropy, kind)
+    if kind == "ball_rail":
+        mask_a = (jnp.where(na <= 0, na, INF)
+                  != jnp.where(a1 <= 0, a1, INF))
+    else:
+        mask_a = na != a1
+    mask_b = nb != b1
+    return (na, nb), (mask_a, mask_b)
+
+
+def relax_escalated_dual(da, db, cc_v: MaskViews, nc_v, ok_v, anisotropy,
+                         rounds: int, kind: str = "ball_rail",
+                         extra_stages: int = 2, extra_rounds: int = 4):
+    """relax_full_dual plus bounded on-device escalation, jointly gated:
+    an extra stage runs when EITHER field's mask changed. Extra rounds on
+    an already-converged field are exact no-ops (an unchanged full round
+    proves the min-plus/maxflood fixpoint), so per-field results equal
+    the separately-escalated relax_escalated outputs."""
+    (da, db), (ma, mb) = relax_full_dual(da, db, cc_v, nc_v, ok_v,
+                                         anisotropy, rounds, kind)
+
+    def more(args):
+        (aa, bb), _ = args
+        return relax_full_dual(aa, bb, cc_v, nc_v, ok_v, anisotropy,
+                               int(extra_rounds), kind)
+
+    for _ in range(int(extra_stages)):
+        (da, db), (ma, mb) = jax.lax.cond(
+            jnp.any(ma) | jnp.any(mb), more, lambda a: a, ((da, db), (ma, mb)))
+    return (da, db), (ma, mb)
+
+
 def relax_escalated(d, cc_v: MaskViews, nc_v, ok_v, anisotropy, rounds: int,
                     mode: str = "euclid", clamp_positive: bool = False,
                     conv: str = "exact", extra_stages: int = 2,

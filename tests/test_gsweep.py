@@ -225,3 +225,128 @@ def test_minid_ccl_pallas_matches_scan_and_scipy():
         pallas_sweep.INTERPRET = prev_interp
         ccl._ccl_stage_gsweep._clear_cache()
     np.testing.assert_array_equal(np.asarray(cc_scan), np.asarray(cc_pal))
+
+
+def _force_pallas_interpret():
+    from kimimaro_tpu.ops import pallas_sweep
+
+    prev = (gsweep._FORCE, pallas_sweep.INTERPRET)
+    gsweep._FORCE = "pallas"
+    pallas_sweep.INTERPRET = True
+
+    def restore():
+        gsweep._FORCE, pallas_sweep.INTERPRET = prev
+
+    return restore
+
+
+def test_dual_ball_rail_matches_separate():
+    """The fused ball+rail kernel (gengine's per-iteration pair) must be
+    bit-identical per field to the two single-field relaxes, including
+    the change masks and the joint escalation."""
+    vol = _three_blob_volume()
+    rng = np.random.RandomState(3)
+    valid = (rng.rand(*vol.shape) < 0.8) & (vol > 0)
+    pdrf = np.where(vol > 0, rng.rand(*vol.shape).astype(np.float32) * 9,
+                    np.inf).astype(np.float32)
+
+    ball0 = np.full(vol.shape, np.inf, dtype=np.float32)
+    rail0 = np.full(vol.shape, np.inf, dtype=np.float32)
+    for lab in (1, 2, 3):
+        p = np.argwhere(vol == lab)
+        ball0[tuple(p[1])] = -70.0
+        valid[tuple(p[1])] = True
+        rail0[tuple(p[-1])] = 0.0
+        pdrf[tuple(p[-1])] = 0.0
+
+    cc_v = gsweep.MaskViews(jnp.asarray(vol))
+    ok_v = gsweep.MaskViews(jnp.asarray(valid.astype(np.uint8)))
+    nc_v = gsweep.MaskViews(jnp.asarray(pdrf))
+
+    restore = _force_pallas_interpret()
+    try:
+        for rounds in (1, 3):
+            (bd, rd), (bm, rm) = gsweep.relax_escalated_dual(
+                jnp.asarray(ball0), jnp.asarray(rail0), cc_v, nc_v, ok_v,
+                ANIS, rounds, kind="ball_rail", extra_stages=2,
+                extra_rounds=2)
+            bd_s, bm_s = gsweep.relax_escalated(
+                jnp.asarray(ball0), cc_v, None, ok_v, ANIS, rounds,
+                mode="euclid", clamp_positive=True, conv="negative",
+                extra_stages=2, extra_rounds=2)
+            rd_s, rm_s = gsweep.relax_escalated(
+                jnp.asarray(rail0), cc_v, nc_v, None, ANIS, rounds,
+                mode="node", extra_stages=2, extra_rounds=2)
+            np.testing.assert_array_equal(np.asarray(bd), np.asarray(bd_s))
+            np.testing.assert_array_equal(np.asarray(rd), np.asarray(rd_s))
+            # joint escalation may run extra (no-op) stages for a field the
+            # separate path stopped escalating, so compare the DECISION the
+            # masks drive (any change at all), not the raw masks
+            assert bool(np.asarray(bm).any()) == bool(np.asarray(bm_s).any())
+            assert bool(np.asarray(rm).any()) == bool(np.asarray(rm_s).any())
+    finally:
+        restore()
+
+
+def test_dual_max2_matches_separate():
+    vol = _three_blob_volume()
+    rng = np.random.RandomState(9)
+    a0 = np.where(vol > 0, rng.rand(*vol.shape).astype(np.float32) * 50,
+                  -np.inf).astype(np.float32)
+    b0 = np.where(vol > 0, rng.rand(*vol.shape).astype(np.float32) * 7,
+                  -np.inf).astype(np.float32)
+    cc_v = gsweep.MaskViews(jnp.asarray(vol))
+
+    restore = _force_pallas_interpret()
+    try:
+        (af, bf), (am, bm) = gsweep.relax_full_dual(
+            jnp.asarray(a0), jnp.asarray(b0), cc_v, None, None, ANIS, 8,
+            kind="max2")
+        af_s, am_s = gsweep.relax_full(
+            jnp.asarray(a0), cc_v, None, None, ANIS, 8, mode="maxflood",
+            return_mask=True)
+        bf_s, bm_s = gsweep.relax_full(
+            jnp.asarray(b0), cc_v, None, None, ANIS, 8, mode="maxflood",
+            return_mask=True)
+        np.testing.assert_array_equal(np.asarray(af), np.asarray(af_s))
+        np.testing.assert_array_equal(np.asarray(bf), np.asarray(bf_s))
+        np.testing.assert_array_equal(np.asarray(am), np.asarray(am_s))
+        np.testing.assert_array_equal(np.asarray(bm), np.asarray(bm_s))
+    finally:
+        restore()
+
+
+def test_dual_fallback_matches_fused():
+    """Off the Pallas path relax_full_dual runs the two separate relaxes;
+    the fused interpret-mode kernel must agree with that fallback."""
+    vol = _three_blob_volume()
+    rng = np.random.RandomState(13)
+    valid = ((rng.rand(*vol.shape) < 0.7) & (vol > 0))
+    pdrf = np.where(vol > 0, rng.rand(*vol.shape).astype(np.float32) * 3,
+                    np.inf).astype(np.float32)
+    ball0 = np.full(vol.shape, np.inf, dtype=np.float32)
+    rail0 = np.full(vol.shape, np.inf, dtype=np.float32)
+    for lab in (1, 2, 3):
+        p = np.argwhere(vol == lab)
+        ball0[tuple(p[0])] = -60.0
+        valid[tuple(p[0])] = True
+        rail0[tuple(p[len(p) // 2])] = 0.0
+
+    cc_v = gsweep.MaskViews(jnp.asarray(vol))
+    ok_v = gsweep.MaskViews(jnp.asarray(valid.astype(np.uint8)))
+    nc_v = gsweep.MaskViews(jnp.asarray(pdrf))
+
+    args = (jnp.asarray(ball0), jnp.asarray(rail0), cc_v, nc_v, ok_v,
+            ANIS, 6)
+    (a_cpu, b_cpu), (ma_cpu, mb_cpu) = gsweep.relax_full_dual(
+        *args, kind="ball_rail")
+    restore = _force_pallas_interpret()
+    try:
+        (a_pal, b_pal), (ma_pal, mb_pal) = gsweep.relax_full_dual(
+            *args, kind="ball_rail")
+    finally:
+        restore()
+    np.testing.assert_array_equal(np.asarray(a_cpu), np.asarray(a_pal))
+    np.testing.assert_array_equal(np.asarray(b_cpu), np.asarray(b_pal))
+    np.testing.assert_array_equal(np.asarray(ma_cpu), np.asarray(ma_pal))
+    np.testing.assert_array_equal(np.asarray(mb_cpu), np.asarray(mb_pal))
