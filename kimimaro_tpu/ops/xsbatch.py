@@ -46,6 +46,79 @@ from .xsarea import box_plane_area
 from .xsslab import K, _kdilate, _shift2, _sweep_rounds, _var_shift
 
 _PERMS = ((1, 2, 0), (0, 2, 1), (0, 1, 2))  # dominant axis moved last
+# kernel-layout permutations: window rows x, DOMINANT axis, window cols y
+# (ops.xsfetch stores the dominant axis on the sublane dim so its z loop
+# never indexes the lane dim dynamically)
+_KPERMS = tuple((p[0], p[2], p[1]) for p in _PERMS)
+
+
+def _finish_section(cell_fg, gx, gy, zb, zidx, a, denom, vert,
+                    wx0, wy0, normal, anisotropy, tx, ty, tz,
+                    Wx, Wy, method: str, rounds: int):
+    """Steps shared by the gather and DMA-fetch paths: per-cell areas,
+    seeded flood over the window, escape test, area sum, contact bits.
+    `cell_fg` already includes z-validity."""
+    t = a[:, :, None] + zidx.astype(jnp.float32) * denom
+    areas = box_plane_area(t, normal, anisotropy)
+    sec = cell_fg & (areas > 0.0)
+    secb = jnp.sum(
+        jnp.where(sec, jnp.uint32(1) << jnp.arange(K, dtype=jnp.uint32),
+                  jnp.uint32(0)),
+        axis=-1, dtype=jnp.uint32)
+
+    si = vert[0] - wx0
+    sj = vert[1] - wy0
+    kseed = vert[2] - zb[si, sj]
+    seedbit = jnp.where(
+        (kseed >= 0) & (kseed < K),
+        jnp.uint32(1) << jnp.clip(kseed, 0, K - 1).astype(jnp.uint32),
+        jnp.uint32(0))
+    seed = jnp.zeros((Wx, Wy), jnp.uint32).at[si, sj].set(seedbit) & secb
+
+    if method == "sweep":
+        kept, changed = _sweep_rounds(seed, secb, zb, rounds)
+    else:
+        def body(carry, _):
+            r, _ = carry
+            nxt = r | _kdilate(r)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    rs = _shift2(r, dx, dy, jnp.uint32(0))
+                    zbs = _shift2(zb, dx, dy, jnp.int32(0))
+                    al = _var_shift(rs, zbs - zb)
+                    nxt = nxt | _kdilate(al)
+            nxt = nxt & secb
+            return (nxt, jnp.any(nxt != r)), None
+
+        (kept, changed), _ = jax.lax.scan(
+            body, (seed, jnp.bool_(True)), None, length=int(rounds) + 1)
+
+    esc = ((gx == wx0) & (wx0 > 0)) | \
+          ((gx == wx0 + Wx - 1) & (wx0 + Wx < tx)) | \
+          ((gy == wy0) & (wy0 > 0)) | \
+          ((gy == wy0 + Wy - 1) & (wy0 + Wy < ty))
+    escaped = jnp.any((kept != 0) & esc)
+    conv = (~changed) & (~escaped)
+
+    kbits = (kept[:, :, None]
+             >> jnp.arange(K, dtype=jnp.uint32)) & jnp.uint32(1)
+    kmask = kbits != 0
+    area = jnp.sum(jnp.where(kmask, areas, 0.0))
+
+    contact = jnp.uint8(0)
+    contact |= jnp.any(
+        kmask & (gx == 0)[:, :, None]).astype(jnp.uint8) << 0
+    contact |= jnp.any(
+        kmask & (gx == tx - 1)[:, :, None]).astype(jnp.uint8) << 1
+    contact |= jnp.any(
+        kmask & (gy == 0)[:, :, None]).astype(jnp.uint8) << 2
+    contact |= jnp.any(
+        kmask & (gy == ty - 1)[:, :, None]).astype(jnp.uint8) << 3
+    contact |= jnp.any(kmask & (zidx == 0)).astype(jnp.uint8) << 4
+    contact |= jnp.any(kmask & (zidx == tz - 1)).astype(jnp.uint8) << 5
+    return area, contact, conv
 
 
 @functools.partial(
@@ -97,98 +170,78 @@ def slab_sections_volume(vol_flat, qlabels, verts, normals,
 
         zidx = zb[:, :, None] + jnp.arange(K, dtype=jnp.int32)
         zvalid = (zidx >= 0) & (zidx < tz)
-        if stz == 1:
-            # dominant axis contiguous (the caller passes a permuted
-            # volume copy): fetch each (x, y) column's K cells with ONE
-            # K-contiguous gather (vmapped dynamic_slice lowers to a
-            # gather with slice_sizes=(K,)). The element-per-index form
-            # paid one random HBM access per CELL — 5x the accesses for
-            # the same bytes (random gathers are the measured cost of
-            # this kernel: ~1.5 ms/query at W=128 on the v5e).
-            zb0 = jnp.clip(zb, 0, max(tz - K, 0))
-            base = (gx * stx + gy * sty + zb0).astype(jnp.int32)
-            cols = jax.vmap(
-                lambda i: jax.lax.dynamic_slice(vol_flat, (i,), (K,))
-            )(base.ravel()).reshape(*zb.shape, K)
-            # realign: cell k sits at column offset k + (zb - zb0); out-of
-            # -range offsets only occur at cells zvalid masks anyway
-            kidx = jnp.clip(
-                jnp.arange(K, dtype=jnp.int32) + (zb - zb0)[:, :, None],
-                0, K - 1)
-            # K-way select chain (K=5): pure vector ops, no second gather
-            gathered = cols[:, :, 0][:, :, None] * jnp.int32(0)
-            for j in range(K):
-                gathered = jnp.where(kidx == j, cols[:, :, j][:, :, None],
-                                     gathered)
-            cell_fg = (gathered == label) & zvalid
-        else:
-            flat_idx = (gx[:, :, None] * stx + gy[:, :, None] * sty
-                        + jnp.clip(zidx, 0, tz - 1) * stz)
-            cell_fg = (jnp.take(vol_flat, flat_idx) == label) & zvalid
+        # callers pass a permuted contiguous copy (stz == 1), so each
+        # cell column's K gathers hit CONSECUTIVE flat addresses — the
+        # element gathers ride one cache line instead of K random HBM
+        # accesses. (A vmapped dynamic_slice "one contiguous gather per
+        # column" variant was tried on the v5e and is ~10x SLOWER than
+        # element gathers at these shapes, besides crashing the axon
+        # worker at the W=512 rung — gather with many tiny slices is the
+        # wrong primitive on this backend.)
+        flat_idx = (gx[:, :, None] * stx + gy[:, :, None] * sty
+                    + jnp.clip(zidx, 0, tz - 1) * stz)
+        cell_fg = (jnp.take(vol_flat, flat_idx) == label) & zvalid
 
-        t = a[:, :, None] + zidx.astype(jnp.float32) * denom
-        areas = box_plane_area(t, normal, anisotropy)
-        sec = cell_fg & (areas > 0.0)
-        secb = jnp.sum(
-            jnp.where(sec, jnp.uint32(1) << jnp.arange(K, dtype=jnp.uint32),
-                      jnp.uint32(0)),
-            axis=-1, dtype=jnp.uint32)
-
-        si = vert[0] - wx0
-        sj = vert[1] - wy0
-        kseed = vert[2] - zb[si, sj]
-        seedbit = jnp.where(
-            (kseed >= 0) & (kseed < K),
-            jnp.uint32(1) << jnp.clip(kseed, 0, K - 1).astype(jnp.uint32),
-            jnp.uint32(0))
-        seed = jnp.zeros((Wx, Wy), jnp.uint32).at[si, sj].set(seedbit) & secb
-
-        if method == "sweep":
-            kept, changed = _sweep_rounds(seed, secb, zb, rounds)
-        else:
-            def body(carry, _):
-                r, _ = carry
-                nxt = r | _kdilate(r)
-                for dx in (-1, 0, 1):
-                    for dy in (-1, 0, 1):
-                        if dx == 0 and dy == 0:
-                            continue
-                        rs = _shift2(r, dx, dy, jnp.uint32(0))
-                        zbs = _shift2(zb, dx, dy, jnp.int32(0))
-                        al = _var_shift(rs, zbs - zb)
-                        nxt = nxt | _kdilate(al)
-                nxt = nxt & secb
-                return (nxt, jnp.any(nxt != r)), None
-
-            (kept, changed), _ = jax.lax.scan(
-                body, (seed, jnp.bool_(True)), None, length=int(rounds) + 1)
-
-        esc = ((gx == wx0) & (wx0 > 0)) | \
-              ((gx == wx0 + Wx - 1) & (wx0 + Wx < tx)) | \
-              ((gy == wy0) & (wy0 > 0)) | \
-              ((gy == wy0 + Wy - 1) & (wy0 + Wy < ty))
-        escaped = jnp.any((kept != 0) & esc)
-        conv = (~changed) & (~escaped)
-
-        kbits = (kept[:, :, None]
-                 >> jnp.arange(K, dtype=jnp.uint32)) & jnp.uint32(1)
-        kmask = kbits != 0
-        area = jnp.sum(jnp.where(kmask, areas, 0.0))
-
-        contact = jnp.uint8(0)
-        contact |= jnp.any(
-            kmask & (gx == 0)[:, :, None]).astype(jnp.uint8) << 0
-        contact |= jnp.any(
-            kmask & (gx == tx - 1)[:, :, None]).astype(jnp.uint8) << 1
-        contact |= jnp.any(
-            kmask & (gy == 0)[:, :, None]).astype(jnp.uint8) << 2
-        contact |= jnp.any(
-            kmask & (gy == ty - 1)[:, :, None]).astype(jnp.uint8) << 3
-        contact |= jnp.any(kmask & (zidx == 0)).astype(jnp.uint8) << 4
-        contact |= jnp.any(kmask & (zidx == tz - 1)).astype(jnp.uint8) << 5
-        return area, contact, conv
+        return _finish_section(
+            cell_fg, gx, gy, zb, zidx, a, denom, vert, wx0, wy0, normal,
+            anisotropy, tx, ty, tz, Wx, Wy, method, rounds)
 
     return jax.vmap(one)(qlabels, verts, normals)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kdims", "anisotropy", "Wx", "Wyf", "rounds",
+                     "method"))
+def slab_sections_volume_dma(volk, qlabels, verts, normals,
+                             kdims: Tuple[int, int, int],
+                             anisotropy: Tuple[float, float, float],
+                             Wx: int, Wyf: int, rounds: int, method: str):
+    """slab_sections_volume's DMA-fetch twin: the window foreground comes
+    from the ops.xsfetch Pallas kernel (tiled DMA block copies) instead of
+    a W*W*K element gather, and the window is (Wx, Wyf) with a
+    128-ALIGNED y start (xsfetch.usable gates eligibility). The wider
+    aligned window changes which rung a section converges at, never a
+    converged section's area/contacts (escalation covers the rest), so
+    results match the gather path per query once converged."""
+    from . import xsfetch
+
+    s = np.asarray(anisotropy, dtype=np.float32)
+    tx, tz, ty = (int(v) for v in kdims)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (Wx, Wyf), 0)
+    jw = jax.lax.broadcasted_iota(jnp.int32, (Wx, Wyf), 1)
+
+    def pre(label, vert, normal):
+        wx0 = jnp.clip(vert[0] - Wx // 2, 0, max(tx - Wx, 0))
+        wy0 = (jnp.clip(vert[1] - Wyf // 2, 0, max(ty - Wyf, 0))
+               // 128) * 128
+        gx = wx0 + iw
+        gy = wy0 + jw
+        p0 = vert.astype(jnp.float32) * s
+        nx, ny, nz = normal[0], normal[1], normal[2]
+        a = ((gx.astype(jnp.float32) * s[0] - p0[0]) * nx
+             + (gy.astype(jnp.float32) * s[1] - p0[1]) * ny
+             - p0[2] * nz)
+        denom = nz * s[2]
+        safe = jnp.where(jnp.abs(denom) < 1e-20, jnp.float32(1e-20), denom)
+        zb = jnp.floor(-a / safe).astype(jnp.int32) - (K // 2)
+        return wx0, wy0, zb, a, denom, gx, gy
+
+    wx0, wy0, zb, a, denom, gx, gy = jax.vmap(pre)(qlabels, verts, normals)
+    raw = xsfetch.fetch_secb(volk, zb, wx0, wy0, qlabels, kdims, Wx, Wyf)
+
+    def post(label, vert, normal, wx0, wy0, zb, a, denom, gx, gy, raw_b):
+        zidx = zb[:, :, None] + jnp.arange(K, dtype=jnp.int32)
+        zvalid = (zidx >= 0) & (zidx < tz)
+        bits = (raw_b[:, :, None]
+                >> jnp.arange(K, dtype=jnp.int32)) & jnp.int32(1)
+        cell_fg = (bits != 0) & zvalid
+        return _finish_section(
+            cell_fg, gx, gy, zb, zidx, a, denom, vert, wx0, wy0, normal,
+            anisotropy, tx, ty, tz, Wx, Wyf, method, rounds)
+
+    return jax.vmap(post)(qlabels, verts, normals, wx0, wy0, zb, a,
+                          denom, gx, gy, raw)
 
 
 @functools.partial(
@@ -221,6 +274,35 @@ def slab_sections_super(vol_flat, ql_all, v_all, m_all, off,
         return None, slab_sections_volume(
             vol_flat, qlc, vc, mc, dims, strides, anisotropy,
             W=W, rounds=rounds, method=method)
+
+    _, (a, c, cv) = jax.lax.scan(
+        body, None,
+        (ql.reshape(S, chunk), v.reshape(S, chunk, 3),
+         m.reshape(S, chunk, 3)))
+    return a.reshape(-1), c.reshape(-1), cv.reshape(-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kdims", "anisotropy", "Wx", "Wyf", "rounds",
+                     "method", "chunk", "S"))
+def slab_sections_super_dma(volk, ql_all, v_all, m_all, off,
+                            kdims: Tuple[int, int, int],
+                            anisotropy: Tuple[float, float, float],
+                            Wx: int, Wyf: int, rounds: int, method: str,
+                            chunk: int, S: int):
+    """slab_sections_super over the DMA-fetch path (see
+    slab_sections_volume_dma); same on-device lane slicing contract."""
+    n = chunk * S
+    ql = jax.lax.dynamic_slice(ql_all, (off,), (n,))
+    v = jax.lax.dynamic_slice(v_all, (off, 0), (n, 3))
+    m = jax.lax.dynamic_slice(m_all, (off, 0), (n, 3))
+
+    def body(_, x):
+        qlc, vc, mc = x
+        return None, slab_sections_volume_dma(
+            volk, qlc, vc, mc, kdims, anisotropy,
+            Wx=Wx, Wyf=Wyf, rounds=rounds, method=method)
 
     _, (a, c, cv) = jax.lax.scan(
         body, None,
@@ -308,16 +390,22 @@ def cross_section_areas_volume(
 
     t0 = _time.perf_counter()
     vol_dev = jnp.asarray(vol)
-    # one permuted COPY per dominant-axis group (dominant axis stride-1):
-    # lets the window kernel fetch each K-cell column with a single
-    # contiguous gather instead of K random accesses. 3x volume HBM is
-    # cheap (1.6 GB at 512^3) next to the measured gather cost.
+    # one permuted COPY per dominant-axis group actually dispatched:
+    # gather path z-last flat; DMA path (x, z, y) (ops.xsfetch layout).
+    # Extra volume copies are cheap (537 MB each at 512^3) next to the
+    # measured per-element gather cost they avoid.
     _vol_cache = {}
 
     def vol_for(d):
-        if d not in _vol_cache:
-            _vol_cache[d] = jnp.transpose(vol_dev, _PERMS[d]).reshape(-1)
-        return _vol_cache[d]
+        if ("g", d) not in _vol_cache:
+            _vol_cache[("g", d)] = jnp.transpose(
+                vol_dev, _PERMS[d]).reshape(-1)
+        return _vol_cache[("g", d)]
+
+    def volk_for(d):
+        if ("k", d) not in _vol_cache:
+            _vol_cache[("k", d)] = jnp.transpose(vol_dev, _KPERMS[d])
+        return _vol_cache[("k", d)]
 
     profiling.count("xsb_upload_ms",
                     int(1000 * (_time.perf_counter() - t0)))
@@ -356,7 +444,30 @@ def cross_section_areas_volume(
 
     import os
 
+    from . import xsfetch
+
     S_MAX = int(os.environ.get("KIMIMARO_TPU_XSB_SUPER", "32"))
+    # DMA-fetch windows (ops.xsfetch): auto = on TPU where eligible;
+    # 1 forces it (CPU tests run the kernel in interpret mode); 0 = off
+    dma_env = os.environ.get("KIMIMARO_TPU_XSB_DMA", "auto")
+    dma_on = (dma_env not in ("0", "off")
+              and (dma_env == "1" or xsfetch.available()))
+
+    def _dma_plan(d, W):
+        """(kdims, Wx, Wyf) when the DMA path can serve this axis group's
+        W-windows, else None."""
+        dims, _ = dims_strides(d)
+        tx, ty, _tz = dims
+        kdims = (dims[0], dims[2], dims[1])
+        Wx = int(min(W, tx))
+        Wy = int(min(W, ty))
+        Wyf = min(max(256, _ceil_to_128(Wy + 128)), (ty // 128) * 128)
+        if xsfetch.usable(kdims, Wx, Wyf):
+            return kdims, Wx, Wyf
+        return None
+
+    def _ceil_to_128(x: int) -> int:
+        return -(-int(x) // 128) * 128
 
     def _pow2ge(x: int) -> int:
         return 1 << max(int(x) - 1, 0).bit_length()
@@ -404,12 +515,23 @@ def cross_section_areas_volume(
             v_d = jnp.asarray(vperm)
             m_d = jnp.asarray(nperm)
 
+            dp = _dma_plan(d, W) if dma_on else None
+            if dp is not None:
+                profiling.count(f"xsb_dma_rung{r}", len(sel))
             for (c0, Sd) in plan:
-                out = slab_sections_super(
-                    vol_for(d), ql_d, v_d, m_d, c0 * lanes,
-                    dims, strides, anis_p,
-                    W=W, rounds=rounds, method=method,
-                    chunk=lanes, S=Sd)
+                if dp is not None:
+                    kdims, Wxd, Wyfd = dp
+                    out = slab_sections_super_dma(
+                        volk_for(d), ql_d, v_d, m_d, c0 * lanes,
+                        kdims, anis_p,
+                        Wx=Wxd, Wyf=Wyfd, rounds=rounds, method=method,
+                        chunk=lanes, S=Sd)
+                else:
+                    out = slab_sections_super(
+                        vol_for(d), ql_d, v_d, m_d, c0 * lanes,
+                        dims, strides, anis_p,
+                        W=W, rounds=rounds, method=method,
+                        chunk=lanes, S=Sd)
                 lo = c0 * lanes
                 idx = sel[lo: lo + Sd * lanes]
                 pend.append((idx, d, out))
